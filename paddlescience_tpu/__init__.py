@@ -1,0 +1,61 @@
+"""paddlescience_tpu — a TPU-native scientific-ML framework.
+
+A ground-up JAX/XLA/Pallas rebuild with the capabilities of
+PaddlePaddle/PaddleScience (``ppsci``): PINNs over sympy-defined PDE
+residuals with high-order forward-mode autodiff, geometry sampling with CSG,
+operator learning (DeepONet/FNO/LNO/...), a constraint/validator/Solver
+training engine with data-parallel sharding over TPU meshes, and jit-exported
+inference.
+
+Typical use mirrors the reference::
+
+    import paddlescience_tpu as psci
+    model = psci.arch.MLP(("x", "y"), ("u",), 5, 128)
+    eq = psci.equation.Laplace(dim=2)
+    ...
+    solver = psci.solver.Solver(model, constraint, optimizer=opt, ...)
+    solver.train()
+"""
+
+import jax
+
+# PINN residual accuracy on TPU needs true-f32 matmuls (default TPU matmul
+# precision is bf16-ish). Models that want raw MXU bf16 speed opt in per-op.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from paddlescience_tpu import arch  # noqa: E402,F401
+from paddlescience_tpu import autodiff  # noqa: E402,F401
+from paddlescience_tpu import equation  # noqa: E402,F401
+from paddlescience_tpu import utils  # noqa: E402,F401
+from paddlescience_tpu.utils.symbolic import lambdify  # noqa: E402,F401
+
+# subpackages with heavier deps import lazily below; keep the core import light
+_LAZY_SUBMODULES = (
+    "geometry",
+    "data",
+    "constraint",
+    "validate",
+    "loss",
+    "metric",
+    "optimizer",
+    "solver",
+    "visualize",
+    "experimental",
+    "probability",
+    "ops",
+    "parallel",
+    "deploy",
+)
+
+
+def __getattr__(name):
+    if name in _LAZY_SUBMODULES:
+        import importlib
+
+        mod = importlib.import_module(f"paddlescience_tpu.{name}")
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module 'paddlescience_tpu' has no attribute '{name}'")
+
+
+__version__ = "0.1.0"

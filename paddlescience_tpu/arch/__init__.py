@@ -1,0 +1,50 @@
+"""Model zoo (reference ``ppsci/arch/__init__.py:19-110`` registry)."""
+
+import copy
+from typing import Dict
+
+from paddlescience_tpu.arch.base import Arch  # noqa: F401
+from paddlescience_tpu.arch.mlp import (  # noqa: F401
+    MLP,
+    FourierEmbedding,
+    ModifiedMLP,
+    PeriodEmbedding,
+    PirateNet,
+    PirateNetBlock,
+    RandomWeightFactorization,
+    WeightNormLinear,
+)
+
+__all__ = [
+    "Arch",
+    "MLP",
+    "ModifiedMLP",
+    "PirateNet",
+    "PirateNetBlock",
+    "FourierEmbedding",
+    "PeriodEmbedding",
+    "RandomWeightFactorization",
+    "WeightNormLinear",
+    "build_model",
+]
+
+
+def _registry() -> Dict[str, type]:
+    import paddlescience_tpu.arch as arch_mod
+
+    return {
+        name: obj
+        for name, obj in vars(arch_mod).items()
+        if isinstance(obj, type) and issubclass(obj, Arch) and obj is not Arch
+    }
+
+
+def build_model(cfg) -> Arch:
+    """Build a model from a config dict {"name": <class>, **kwargs}
+    (reference arch/__init__.py:112+)."""
+    cfg = copy.deepcopy(dict(cfg))
+    name = cfg.pop("name")
+    reg = _registry()
+    if name not in reg:
+        raise ValueError(f"unknown arch '{name}', available: {sorted(reg)}")
+    return reg[name](**cfg)

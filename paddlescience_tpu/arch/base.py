@@ -1,0 +1,78 @@
+"""Arch — base class for all networks (dict-keyed I/O).
+
+TPU-native counterpart of reference ``ppsci/arch/base.py:28-279``. Built on
+flax NNX so transforms can be registered by mutation (reference ergonomics)
+while the solver functionalizes the model with ``nnx.split`` for jit/grad.
+
+Conventions:
+  * every input/output key maps to an array of shape ``(..., k)`` — usually
+    ``(N, 1)`` columns; models must accept arbitrary leading batch dims so
+    that pointwise derivative stacks (``autodiff.ad``) can vmap over them.
+  * ``__call__(self, x: Dict[str, Array]) -> Dict[str, Array]``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+__all__ = ["Arch"]
+
+
+class Arch(nnx.Module):
+    """Base class for networks with dict-keyed inputs/outputs."""
+
+    input_keys: Tuple[str, ...]
+    output_keys: Tuple[str, ...]
+
+    def __init__(self):
+        self._input_transform: Optional[Callable] = None
+        self._output_transform: Optional[Callable] = None
+
+    # -- dict <-> tensor helpers (reference base.py:79-149) ------------------
+    @staticmethod
+    def concat_to_tensor(data_dict: Dict[str, jnp.ndarray], keys: Sequence[str], axis: int = -1) -> jnp.ndarray:
+        if len(keys) == 1:
+            return data_dict[keys[0]]
+        return jnp.concatenate([data_dict[key] for key in keys], axis=axis)
+
+    @staticmethod
+    def split_to_dict(data_tensor: jnp.ndarray, keys: Sequence[str], axis: int = -1) -> Dict[str, jnp.ndarray]:
+        if len(keys) == 1:
+            return {keys[0]: data_tensor}
+        parts = jnp.split(data_tensor, len(keys), axis=axis)
+        return {key: parts[i] for i, key in enumerate(keys)}
+
+    # -- transforms (reference base.py:150-219) ------------------------------
+    def register_input_transform(self, transform: Callable[[Dict], Dict]) -> None:
+        """transform_in(input_dict) -> new_input_dict, applied before forward."""
+        self._input_transform = transform
+
+    def register_output_transform(self, transform: Optional[Callable[[Dict, Dict], Dict]]) -> None:
+        """transform_out(input_dict, output_dict) -> new_output_dict (hard
+        constraint enforcement etc.), applied after forward."""
+        self._output_transform = transform
+
+    # -- info -----------------------------------------------------------------
+    @property
+    def num_params(self) -> int:
+        state = nnx.state(self, nnx.Param)
+        return int(sum(np.prod(x.shape) for x in jax.tree.leaves(state) if hasattr(x, "shape")))
+
+    def freeze(self):
+        """Mark all params non-trainable (reference base.py:220). The solver
+        respects this via the `trainable` filter when building the opt state."""
+        self._frozen = True
+
+    def unfreeze(self):
+        self._frozen = False
+
+    def __str__(self):
+        return (
+            f"{self.__class__.__name__}(input_keys={getattr(self, 'input_keys', None)}, "
+            f"output_keys={getattr(self, 'output_keys', None)}, num_params={self.num_params})"
+        )

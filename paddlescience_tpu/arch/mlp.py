@@ -1,0 +1,469 @@
+"""PINN backbone MLP family.
+
+TPU-native counterparts of reference ``ppsci/arch/mlp.py``:
+  * ``WeightNormLinear``            (mlp.py:31)
+  * ``RandomWeightFactorization``   (mlp.py:56)
+  * ``PeriodEmbedding``             (mlp.py:95)
+  * ``FourierEmbedding``            (mlp.py:117)
+  * ``MLP``                         (mlp.py:139)
+  * ``ModifiedMLP``                 (mlp.py:318)
+  * ``PirateNetBlock`` / ``PirateNet`` (mlp.py:530/624)
+
+Same forward math (so convergence recipes transfer), but implemented as NNX
+modules whose matmuls XLA maps straight onto the MXU; all layers accept
+arbitrary leading batch dims so derivative stacks can vmap pointwise.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from paddlescience_tpu.arch import activation as act_mod
+from paddlescience_tpu.arch import base
+from paddlescience_tpu.utils import initializer
+
+__all__ = [
+    "WeightNormLinear",
+    "RandomWeightFactorization",
+    "PeriodEmbedding",
+    "FourierEmbedding",
+    "MLP",
+    "ModifiedMLP",
+    "PirateNetBlock",
+    "PirateNet",
+]
+
+
+class WeightNormLinear(nnx.Module):
+    """y = x @ (g * v / ||v||_col) + b. Reference mlp.py:31."""
+
+    def __init__(self, in_features: int, out_features: int, bias: bool = True, *, rngs: nnx.Rngs):
+        self.weight_v = nnx.Param(initializer.xavier_uniform_()(rngs.params(), (in_features, out_features)))
+        self.weight_g = nnx.Param(jnp.ones((out_features,)))
+        self.bias = nnx.Param(jnp.zeros((out_features,))) if bias else None
+
+    def __call__(self, x):
+        v = self.weight_v.value
+        norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+        w = self.weight_g.value * v / norm
+        y = x @ w
+        if self.bias is not None:
+            y = y + self.bias.value
+        return y
+
+
+class RandomWeightFactorization(nnx.Module):
+    """W = g * v with g = exp(N(mean, std)) at init and v = W0/g (W0 glorot
+    normal), so the effective initial weight equals W0. Reference mlp.py:56.
+    """
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        bias: bool = True,
+        mean: float = 0.5,
+        std: float = 0.1,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        w0 = initializer.glorot_normal_(rngs.params(), (in_features, out_features))
+        g = jnp.exp(mean + std * jax.random.normal(rngs.params(), (out_features,)))
+        self.weight_g = nnx.Param(g)
+        self.weight_v = nnx.Param(w0 / g)
+        self.bias = nnx.Param(jnp.zeros((out_features,))) if bias else None
+
+    def __call__(self, x):
+        y = x @ (self.weight_g.value * self.weight_v.value)
+        if self.bias is not None:
+            y = y + self.bias.value
+        return y
+
+
+class Linear(nnx.Module):
+    """Plain dense layer with paddle-style default init (U(±1/sqrt(fan_in)))
+    so reference convergence recipes transfer."""
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        bias: bool = True,
+        kernel_init=None,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        if kernel_init is None:
+            kernel_init = initializer.xavier_uniform_()
+        self.weight = nnx.Param(kernel_init(rngs.params(), (in_features, out_features)))
+        self.bias = nnx.Param(jnp.zeros((out_features,))) if bias else None
+
+    def __call__(self, x):
+        y = x @ self.weight.value
+        if self.bias is not None:
+            y = y + self.bias.value
+        return y
+
+
+class PeriodEmbedding(nnx.Module):
+    """Replace key k's column with [cos(w x_k), sin(w x_k)], w = 2*pi/period,
+    optionally trainable. Reference mlp.py:95."""
+
+    def __init__(self, periods: Dict[str, Tuple[float, bool]], *, rngs: nnx.Rngs = None):
+        self.keys = tuple(periods.keys())
+        self.freqs = {}
+        for k, (p, trainable) in periods.items():
+            w = jnp.asarray(2 * math.pi / float(p), jnp.float32)
+            self.freqs[k] = nnx.Param(w) if trainable else nnx.Variable(w)
+
+    def __call__(self, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        y = dict(x)
+        for k in self.keys:
+            w = self.freqs[k].value
+            y[k] = jnp.concatenate([jnp.cos(w * x[k]), jnp.sin(w * x[k])], axis=-1)
+        return y
+
+
+class FourierEmbedding(nnx.Module):
+    """Random Fourier features [cos(xB), sin(xB)], B ~ N(0, scale^2).
+    Reference mlp.py:117 (kernel is trainable, matching reference)."""
+
+    def __init__(self, in_features: int, out_features: int, scale: float, *, rngs: nnx.Rngs):
+        if out_features % 2 != 0:
+            raise ValueError(f"out_features must be even, but got {out_features}.")
+        self.kernel = nnx.Param(scale * jax.random.normal(rngs.params(), (in_features, out_features // 2)))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        z = x @ self.kernel.value
+        return jnp.concatenate([jnp.cos(z), jnp.sin(z)], axis=-1)
+
+
+def _make_linear(
+    in_features: int,
+    out_features: int,
+    weight_norm: bool,
+    random_weight: Optional[Dict[str, float]],
+    rngs: nnx.Rngs,
+    kernel_init=None,
+):
+    if weight_norm:
+        return WeightNormLinear(in_features, out_features, rngs=rngs)
+    if random_weight:
+        return RandomWeightFactorization(
+            in_features, out_features, mean=random_weight["mean"], std=random_weight["std"], rngs=rngs
+        )
+    return Linear(in_features, out_features, kernel_init=kernel_init, rngs=rngs)
+
+
+def _make_act(name: str, size: int, rngs: nnx.Rngs):
+    act = act_mod.get_activation(name)
+    if act is act_mod.Stan:
+        return act(size, rngs=rngs)
+    if act is act_mod.Swish:
+        return act(1.0, rngs=rngs)
+    if act is act_mod.Siren:
+        return act()
+    return act
+
+
+def _resolve_sizes(hidden_size, num_layers, what="num_layers"):
+    if isinstance(hidden_size, (tuple, list)):
+        if num_layers is not None:
+            raise ValueError(f"{what} should be None when hidden_size is specified as a list")
+        return list(hidden_size)
+    if isinstance(hidden_size, int):
+        if not isinstance(num_layers, int):
+            raise ValueError(f"{what} should be an int when hidden_size is an int")
+        return [hidden_size] * num_layers
+    raise ValueError(f"hidden_size should be list of int or int, but got {type(hidden_size)}")
+
+
+class MLP(base.Arch):
+    """Multi layer perceptron network (reference ppsci/arch/mlp.py:139).
+
+    Args mirror the reference: input_keys/output_keys, num_layers,
+    hidden_size (int or list), activation, skip_connection, weight_norm,
+    input_dim/output_dim overrides, periods, fourier, random_weight.
+    """
+
+    def __init__(
+        self,
+        input_keys: Tuple[str, ...],
+        output_keys: Tuple[str, ...],
+        num_layers: Optional[int],
+        hidden_size: Union[int, Sequence[int]],
+        activation: str = "tanh",
+        skip_connection: bool = False,
+        weight_norm: bool = False,
+        input_dim: Optional[int] = None,
+        output_dim: Optional[int] = None,
+        periods: Optional[Dict[str, Tuple[float, bool]]] = None,
+        fourier: Optional[Dict[str, Union[float, int]]] = None,
+        random_weight: Optional[Dict[str, float]] = None,
+        *,
+        rngs: Optional[nnx.Rngs] = None,
+    ):
+        super().__init__()
+        if rngs is None:
+            rngs = nnx.Rngs(0)
+        self.input_keys = tuple(input_keys)
+        self.output_keys = tuple(output_keys)
+        self.skip_connection = skip_connection
+        self.periods = dict(periods) if periods else None
+        self.fourier = dict(fourier) if fourier else None
+
+        if self.periods:
+            self.period_emb = PeriodEmbedding(self.periods, rngs=rngs)
+
+        sizes = _resolve_sizes(hidden_size, num_layers)
+
+        cur_size = len(self.input_keys) if input_dim is None else input_dim
+        if input_dim is None and self.periods:
+            cur_size += len(self.periods)  # each period-embedded key doubles
+
+        if self.fourier:
+            self.fourier_emb = FourierEmbedding(cur_size, self.fourier["dim"], self.fourier["scale"], rngs=rngs)
+            cur_size = self.fourier["dim"]
+
+        linears, acts = [], []
+        for i, size in enumerate(sizes):
+            kernel_init = None
+            if activation == "siren":
+                kernel_init = (
+                    act_mod.Siren.first_layer_init if i == 0 else act_mod.Siren.hidden_layer_init()
+                )
+            linears.append(_make_linear(cur_size, size, weight_norm, random_weight, rngs, kernel_init))
+            acts.append(_make_act(activation, size, rngs))
+            cur_size = size
+        self.linears = nnx.List(linears)
+        self.acts = nnx.List(acts)
+
+        out_dim = len(self.output_keys) if output_dim is None else output_dim
+        self.last_fc = _make_linear(cur_size, out_dim, False, random_weight, rngs)
+
+    def forward_tensor(self, x):
+        y = x
+        skip = None
+        for i, linear in enumerate(self.linears):
+            y = linear(y)
+            if self.skip_connection and i % 2 == 0:
+                if skip is not None:
+                    skip = y
+                    y = y + skip
+                else:
+                    skip = y
+            y = self.acts[i](y)
+        return self.last_fc(y)
+
+    def __call__(self, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        if self._input_transform is not None:
+            x = self._input_transform(x)
+        if self.periods:
+            x = self.period_emb(x)
+        y = self.concat_to_tensor(x, self.input_keys, axis=-1)
+        if self.fourier:
+            y = self.fourier_emb(y)
+        y = self.forward_tensor(y)
+        y = self.split_to_dict(y, self.output_keys, axis=-1)
+        if self._output_transform is not None:
+            y = self._output_transform(x, y)
+        return y
+
+
+class ModifiedMLP(base.Arch):
+    """Two-stream gated MLP (reference ppsci/arch/mlp.py:318;
+    arXiv:2001.04536): y <- act(Wy) then y*u + (1-y)*v with shared gates."""
+
+    def __init__(
+        self,
+        input_keys: Tuple[str, ...],
+        output_keys: Tuple[str, ...],
+        num_layers: int,
+        hidden_size: int,
+        activation: str = "tanh",
+        skip_connection: bool = False,
+        weight_norm: bool = False,
+        input_dim: Optional[int] = None,
+        output_dim: Optional[int] = None,
+        periods: Optional[Dict[str, Tuple[float, bool]]] = None,
+        fourier: Optional[Dict[str, Union[float, int]]] = None,
+        random_weight: Optional[Dict[str, float]] = None,
+        *,
+        rngs: Optional[nnx.Rngs] = None,
+    ):
+        super().__init__()
+        if rngs is None:
+            rngs = nnx.Rngs(0)
+        if not isinstance(hidden_size, int):
+            raise ValueError(f"hidden_size should be int, but got {type(hidden_size)}")
+        self.input_keys = tuple(input_keys)
+        self.output_keys = tuple(output_keys)
+        self.skip_connection = skip_connection
+        self.periods = dict(periods) if periods else None
+        self.fourier = dict(fourier) if fourier else None
+        if self.periods:
+            self.period_emb = PeriodEmbedding(self.periods, rngs=rngs)
+
+        sizes = [hidden_size] * num_layers
+        cur_size = len(self.input_keys) if input_dim is None else input_dim
+        if input_dim is None and self.periods:
+            cur_size += len(self.periods)
+        if self.fourier:
+            self.fourier_emb = FourierEmbedding(cur_size, self.fourier["dim"], self.fourier["scale"], rngs=rngs)
+            cur_size = self.fourier["dim"]
+
+        self.embed_u = _make_linear(cur_size, sizes[0], weight_norm, random_weight, rngs)
+        self.embed_v = _make_linear(cur_size, sizes[0], weight_norm, random_weight, rngs)
+        self.embed_act_u = _make_act(activation, sizes[0], rngs)
+        self.embed_act_v = _make_act(activation, sizes[0], rngs)
+
+        linears, acts = [], []
+        for i, size in enumerate(sizes):
+            linears.append(_make_linear(cur_size, size, weight_norm, random_weight, rngs))
+            acts.append(_make_act(activation, size, rngs))
+            cur_size = size
+        self.linears = nnx.List(linears)
+        self.acts = nnx.List(acts)
+        out_dim = len(self.output_keys) if output_dim is None else output_dim
+        self.last_fc = _make_linear(cur_size, out_dim, False, random_weight, rngs)
+
+    def forward_tensor(self, x):
+        u = self.embed_act_u(self.embed_u(x))
+        v = self.embed_act_v(self.embed_v(x))
+        y = x
+        skip = None
+        for i, linear in enumerate(self.linears):
+            y = linear(y)
+            y = self.acts[i](y)
+            y = y * u + (1 - y) * v
+            if self.skip_connection and i % 2 == 0:
+                if skip is not None:
+                    skip = y
+                    y = y + skip
+                else:
+                    skip = y
+        return self.last_fc(y)
+
+    def __call__(self, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        x_identity = x
+        if self._input_transform is not None:
+            x = self._input_transform(x)
+        if self.periods:
+            x = self.period_emb(x)
+        y = self.concat_to_tensor(x, self.input_keys, axis=-1)
+        if self.fourier:
+            y = self.fourier_emb(y)
+        y = self.forward_tensor(y)
+        y = self.split_to_dict(y, self.output_keys, axis=-1)
+        if self._output_transform is not None:
+            y = self._output_transform(x_identity, y)
+        return y
+
+
+class PirateNetBlock(nnx.Module):
+    """Residual adaptive block (reference ppsci/arch/mlp.py:530;
+    arXiv:2402.00326). x^{l+1} = alpha*h + (1-alpha)*x, alpha init 0."""
+
+    def __init__(
+        self,
+        embed_dim: int,
+        activation: str = "tanh",
+        random_weight: Optional[Dict[str, float]] = None,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        self.linear1 = _make_linear(embed_dim, embed_dim, False, random_weight, rngs)
+        self.linear2 = _make_linear(embed_dim, embed_dim, False, random_weight, rngs)
+        self.linear3 = _make_linear(embed_dim, embed_dim, False, random_weight, rngs)
+        self.alpha = nnx.Param(jnp.zeros((1,)))
+        self.act1 = _make_act(activation, embed_dim, rngs)
+        self.act2 = _make_act(activation, embed_dim, rngs)
+        self.act3 = _make_act(activation, embed_dim, rngs)
+
+    def __call__(self, x, u, v):
+        f = self.act1(self.linear1(x))
+        z1 = f * u + (1 - f) * v
+        g = self.act2(self.linear2(z1))
+        z2 = g * u + (1 - g) * v
+        h = self.act3(self.linear3(z2))
+        return self.alpha.value * h + (1 - self.alpha.value) * x
+
+
+class PirateNet(base.Arch):
+    """PirateNet (reference ppsci/arch/mlp.py:624; arXiv:2402.00326)."""
+
+    def __init__(
+        self,
+        input_keys: Tuple[str, ...],
+        output_keys: Tuple[str, ...],
+        num_blocks: int,
+        hidden_size: int,
+        activation: str = "tanh",
+        weight_norm: bool = False,
+        input_dim: Optional[int] = None,
+        output_dim: Optional[int] = None,
+        periods: Optional[Dict[str, Tuple[float, bool]]] = None,
+        fourier: Optional[Dict[str, Union[float, int]]] = None,
+        random_weight: Optional[Dict[str, float]] = None,
+        *,
+        rngs: Optional[nnx.Rngs] = None,
+    ):
+        super().__init__()
+        if rngs is None:
+            rngs = nnx.Rngs(0)
+        if not isinstance(hidden_size, int):
+            raise ValueError(f"hidden_size should be int, but got {type(hidden_size)}")
+        self.input_keys = tuple(input_keys)
+        self.output_keys = tuple(output_keys)
+        self.periods = dict(periods) if periods else None
+        self.fourier = dict(fourier) if fourier else None
+        if self.periods:
+            self.period_emb = PeriodEmbedding(self.periods, rngs=rngs)
+
+        sizes = [hidden_size] * num_blocks
+        cur_size = len(self.input_keys) if input_dim is None else input_dim
+        if input_dim is None and self.periods:
+            cur_size += len(self.periods)
+        if self.fourier:
+            self.fourier_emb = FourierEmbedding(cur_size, self.fourier["dim"], self.fourier["scale"], rngs=rngs)
+            cur_size = self.fourier["dim"]
+
+        self.embed_u = _make_linear(cur_size, sizes[0], weight_norm, random_weight, rngs)
+        self.embed_v = _make_linear(cur_size, sizes[0], weight_norm, random_weight, rngs)
+        self.embed_act_u = _make_act(activation, sizes[0], rngs)
+        self.embed_act_v = _make_act(activation, sizes[0], rngs)
+
+        blocks = []
+        for size in sizes:
+            blocks.append(PirateNetBlock(cur_size, activation=activation, random_weight=random_weight, rngs=rngs))
+            cur_size = size
+        self.blocks = nnx.List(blocks)
+        out_dim = len(self.output_keys) if output_dim is None else output_dim
+        self.last_fc = _make_linear(cur_size, out_dim, False, random_weight, rngs)
+
+    def forward_tensor(self, x):
+        u = self.embed_act_u(self.embed_u(x))
+        v = self.embed_act_v(self.embed_v(x))
+        y = x
+        for block in self.blocks:
+            y = block(y, u, v)
+        return self.last_fc(y)
+
+    def __call__(self, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        if self._input_transform is not None:
+            x = self._input_transform(x)
+        if self.periods:
+            x = self.period_emb(x)
+        y = self.concat_to_tensor(x, self.input_keys, axis=-1)
+        if self.fourier:
+            y = self.fourier_emb(y)
+        y = self.forward_tensor(y)
+        y = self.split_to_dict(y, self.output_keys, axis=-1)
+        if self._output_transform is not None:
+            y = self._output_transform(x, y)
+        return y

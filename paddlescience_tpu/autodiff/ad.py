@@ -1,0 +1,267 @@
+"""High-order autodiff with the reference's array-level API, TPU-native core.
+
+The reference (``ppsci/autodiff/ad.py:30-341``) implements ``jacobian(ys, xs)``
+/ ``hessian(ys, xs)`` as globally-cached reverse-mode ``paddle.grad`` calls on
+graph tensors. On TPU the idiomatic (and much faster) formulation is
+*functional*: every model output is a pure function of the collocation
+coordinates, and k-th order derivatives are vmapped nested ``jax.jacfwd``
+"derivative stacks" — forward-mode is the right shape for PINNs, where input
+dimension (2-4) is far smaller than parameter count, and nesting is
+transpose-free so XLA fuses the whole residual into one program.
+
+To keep the reference's ergonomic array-level API (equations written as
+``jacobian(out["u"], out["x"])`` on actual arrays), a per-trace **Tape**
+records, for every array it produces, which derivative-stack element it is.
+``jacobian``/``hessian`` then look the array up and return the requested
+(cached) stack slice. Everything happens inside one jit trace: the cache is a
+Python dict of traced values, so XLA sees a single static graph and CSEs any
+shared work.
+
+API parity:
+  * ``jacobian(ys, xs, i=0, j=None)``  — reference ad.py:95-160 (incl. the
+    batched multi-input form ``jacobian(u, [t, x])``).
+  * ``hessian(ys, xs, component=None, i=0, j=0)`` — reference ad.py:239-303.
+  * ``clear()`` — reference ad.py:326-341 (drops cached stacks).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Tape", "current_tape", "jacobian", "hessian", "clear", "jacobian_fn", "hessian_fn"]
+
+
+class _DerivStack:
+    """Lazy derivative stacks of one pointwise function over a point batch.
+
+    ``fn``: (d,) -> (m,) pure function of the coordinates (closing over
+    params); ``x``: (N, d). ``get(k)`` returns the vmapped k-th order
+    derivative tensor of shape (N, m, d, ..., d) with k trailing d-axes.
+    """
+
+    def __init__(
+        self,
+        fn: Callable,
+        x: jnp.ndarray,
+        key_index: Dict[str, int],
+        out_index: Dict[str, int],
+        extras=None,
+    ):
+        self.fn = fn  # fn(xvec, extras) -> (m,)
+        self.x = x
+        self.key_index = key_index  # coordinate key -> input column
+        self.out_index = out_index  # output key -> output column
+        self.extras = extras if extras is not None else {}
+        self._orders: Dict[int, jnp.ndarray] = {}
+
+    def get(self, order: int) -> jnp.ndarray:
+        if order not in self._orders:
+            fn = self.fn
+
+            def kth(xvec, extras):
+                g = lambda v: fn(v, extras)
+                for _ in range(order):
+                    g = jax.jacfwd(g)
+                return g(xvec)
+
+            self._orders[order] = jax.vmap(kth)(self.x, self.extras)
+        return self._orders[order]
+
+    def clear(self):
+        self._orders.clear()
+
+
+class _Record:
+    """Provenance of one array: which stack, output column, and which
+    coordinate axes it has already been differentiated along."""
+
+    __slots__ = ("stack", "out_col", "dmulti")
+
+    def __init__(self, stack: _DerivStack, out_col: int, dmulti: Tuple[int, ...]):
+        self.stack = stack
+        self.out_col = out_col
+        self.dmulti = dmulti
+
+
+class Tape:
+    """Per-trace registry mapping arrays -> derivative-stack coordinates."""
+
+    def __init__(self):
+        self._records: Dict[int, Tuple[jnp.ndarray, _Record]] = {}
+        self._coords: Dict[int, Tuple[jnp.ndarray, str]] = {}
+        self._stacks: List[_DerivStack] = []
+
+    # -- registration ---------------------------------------------------------
+    def register_coord(self, name: str, arr: jnp.ndarray) -> None:
+        self._coords[id(arr)] = (arr, name)
+
+    def add_stack(
+        self,
+        fn: Callable,
+        x: jnp.ndarray,
+        key_index: Dict[str, int],
+        out_index: Dict[str, int],
+        extras=None,
+    ) -> _DerivStack:
+        stack = _DerivStack(fn, x, key_index, out_index, extras=extras)
+        self._stacks.append(stack)
+        return stack
+
+    def register_output(self, arr: jnp.ndarray, stack: _DerivStack, out_col: int, dmulti: Tuple[int, ...] = ()) -> None:
+        self._records[id(arr)] = (arr, _Record(stack, out_col, dmulti))
+
+    # -- lookup ----------------------------------------------------------------
+    def lookup(self, arr) -> Optional[_Record]:
+        hit = self._records.get(id(arr))
+        return hit[1] if hit is not None else None
+
+    def coord_name(self, arr) -> Optional[str]:
+        hit = self._coords.get(id(arr))
+        return hit[1] if hit is not None else None
+
+    def clear(self):
+        for stack in self._stacks:
+            stack.clear()
+        self._records.clear()
+
+    # -- derivative extraction --------------------------------------------------
+    def derivative(self, rec: _Record, j: int) -> jnp.ndarray:
+        order = len(rec.dmulti) + 1
+        stack_arr = rec.stack.get(order)  # (N, m, d * order)
+        idx = (slice(None), rec.out_col) + rec.dmulti + (j,)
+        out = stack_arr[idx]  # (N,)
+        out = out[:, None]
+        self.register_output(out, rec.stack, rec.out_col, rec.dmulti + (j,))
+        return out
+
+
+import contextvars
+
+_CURRENT_TAPE: contextvars.ContextVar[Optional[Tape]] = contextvars.ContextVar("psci_tape", default=None)
+
+
+def current_tape() -> Optional[Tape]:
+    return _CURRENT_TAPE.get()
+
+
+@contextlib.contextmanager
+def tape_context(tape: Optional[Tape] = None):
+    tape = tape if tape is not None else Tape()
+    token = _CURRENT_TAPE.set(tape)
+    try:
+        yield tape
+    finally:
+        _CURRENT_TAPE.reset(token)
+
+
+def _require_tape() -> Tape:
+    tape = current_tape()
+    if tape is None:
+        raise RuntimeError(
+            "No active autodiff tape. `jacobian`/`hessian` on arrays only work "
+            "inside constraint/equation evaluation (the expression evaluator "
+            "opens a tape). For standalone use, see `jacobian_fn`/`hessian_fn`."
+        )
+    return tape
+
+
+def _resolve_input_col(tape: Tape, rec: _Record, xs: jnp.ndarray, j: Optional[int]) -> int:
+    """Map an `xs` array (a registered coordinate column) + optional column
+    index j to the stack's input-axis index."""
+    name = tape.coord_name(xs)
+    if name is not None:
+        if name not in rec.stack.key_index:
+            raise ValueError(f"coordinate '{name}' is not an input of the differentiated model")
+        return rec.stack.key_index[name]
+    # xs may be the full concatenated coordinate tensor: then j selects column
+    if j is not None:
+        return int(j)
+    raise ValueError(
+        "xs is not a registered input coordinate of the current tape; "
+        "pass one of the arrays from the constraint input dict"
+    )
+
+
+def jacobian(
+    ys: jnp.ndarray,
+    xs: Union[jnp.ndarray, Sequence[jnp.ndarray]],
+    i: int = 0,
+    j: Optional[int] = None,
+) -> Union[jnp.ndarray, List[jnp.ndarray]]:
+    """d(ys)/d(xs) on tape-registered arrays (reference ad.py:95-160).
+
+    ``xs`` may be a list of coordinate columns, in which case a list of
+    derivatives is returned — the analog of the reference's batched
+    one-`paddle.grad`-call path (here the full forward-mode jacobian stack is
+    computed once and sliced, which XLA dedupes anyway).
+    """
+    tape = _require_tape()
+    if isinstance(xs, (list, tuple)):
+        return [jacobian(ys, x, i, j) for x in xs]
+    rec = tape.lookup(ys)
+    if rec is None:
+        raise ValueError(
+            "ys is not on the autodiff tape; differentiate model outputs or "
+            "derivatives thereof (arrays produced inside equation evaluation)"
+        )
+    col = _resolve_input_col(tape, rec, xs, j)
+    rec = _Record(rec.stack, rec.out_col + i, rec.dmulti)
+    return tape.derivative(rec, col)
+
+
+def hessian(
+    ys: jnp.ndarray,
+    xs: jnp.ndarray,
+    component: Optional[int] = None,
+    i: int = 0,
+    j: int = 0,
+) -> jnp.ndarray:
+    """Second derivative d2(ys)/d(xs_i)d(xs_j) (reference ad.py:239-303).
+
+    With single-column coordinate arrays (the framework convention) i=j=0 and
+    this equals ``jacobian(jacobian(ys, xs), xs)`` — computed directly from
+    the order-2 stack.
+    """
+    tape = _require_tape()
+    rec = tape.lookup(ys)
+    if rec is None:
+        raise ValueError("ys is not on the autodiff tape")
+    out_col = rec.out_col + (component if component is not None else 0)
+    name = tape.coord_name(xs)
+    if name is not None:
+        ci = cj = rec.stack.key_index[name]
+    else:
+        ci, cj = int(i), int(j)
+    order = len(rec.dmulti) + 2
+    stack_arr = rec.stack.get(order)
+    idx = (slice(None), out_col) + rec.dmulti + (ci, cj)
+    out = stack_arr[idx][:, None]
+    tape.register_output(out, rec.stack, out_col, rec.dmulti + (ci, cj))
+    return out
+
+
+def clear() -> None:
+    """Drop cached derivative stacks (reference ad.py:326-341). Inside a jit
+    trace each step opens a fresh tape, so this is only needed for manual
+    multi-batch loops sharing one tape."""
+    tape = current_tape()
+    if tape is not None:
+        tape.clear()
+
+
+# -- standalone functional API -------------------------------------------------
+
+
+def jacobian_fn(fn: Callable, argnums: int = 0) -> Callable:
+    """Functional jacobian for a pointwise fn (d,)->(m,), vmapped over a
+    leading batch axis: returns g(x: (N,d)) -> (N, m, d)."""
+    return jax.vmap(jax.jacfwd(fn, argnums=argnums))
+
+
+def hessian_fn(fn: Callable, argnums: int = 0) -> Callable:
+    """Functional hessian (forward-over-forward): g(x: (N,d)) -> (N, m, d, d)."""
+    return jax.vmap(jax.jacfwd(jax.jacfwd(fn, argnums=argnums), argnums=argnums))

@@ -1,0 +1,111 @@
+"""Expression evaluator — the fused forward pass.
+
+TPU-native counterpart of reference ``ppsci/utils/expression.py:60-212``
+(``ExpressionSolver.train_forward/eval_forward/visu_forward``). Instead of a
+``@jit.to_static``-decorated object walking a node list, this is a plain pure
+function: model forwards, derivative stacks, expression evaluation and losses
+all trace into the caller's single jitted program — the whole train step is
+one XLA executable, the reference's per-constraint Python dispatch disappears.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping, Optional, Sequence
+
+import jax.numpy as jnp
+
+from paddlescience_tpu.autodiff import ad
+
+__all__ = ["forward_with_derivatives", "evaluate_expressions"]
+
+
+def forward_with_derivatives(
+    models: Sequence,
+    input_dict: Mapping[str, jnp.ndarray],
+    tape: ad.Tape,
+) -> Dict[str, jnp.ndarray]:
+    """Run each model on the constraint inputs and register everything on the
+    tape so array-level ``jacobian``/``hessian`` work on the results.
+
+    Returns an ``out`` dict containing the input coordinates plus all model
+    outputs. Order-0 values come from a single batched forward (one MXU
+    matmul chain); derivative stacks are created lazily per model.
+    """
+    out: Dict[str, jnp.ndarray] = {}
+    for k, v in input_dict.items():
+        tape.register_coord(k, v)
+        out[k] = v
+
+    for model in models:
+        in_keys = tuple(model.input_keys)
+        missing = [k for k in in_keys if k not in input_dict]
+        if missing:
+            raise KeyError(f"model inputs {missing} not found in constraint inputs {list(input_dict)}")
+
+        # batched forward for the values themselves
+        feed = {k: input_dict[k] for k in in_keys}
+        batched_out = model(feed)
+
+        # differentiable coordinates: single-column inputs; everything else
+        # (function samples, grids, ...) rides along as per-point extras
+        diff_keys = [k for k in in_keys if input_dict[k].ndim == 2 and input_dict[k].shape[-1] == 1]
+        extra_keys = [k for k in in_keys if k not in diff_keys]
+        if diff_keys:
+            x = jnp.concatenate([input_dict[k] for k in diff_keys], axis=-1)  # (N, d)
+            extras = {k: input_dict[k] for k in extra_keys}
+            key_index = {k: i for i, k in enumerate(diff_keys)}
+
+            out_keys = tuple(model.output_keys)
+            widths = [int(batched_out[k].shape[-1]) for k in out_keys]
+            out_index, ofs = {}, 0
+            for k, w in zip(out_keys, widths):
+                out_index[k] = ofs
+                ofs += w
+
+            def pointwise(xvec, extras_pt, _model=model, _dk=tuple(diff_keys), _ok=out_keys):
+                feed_pt = {k: xvec[i : i + 1] for i, k in enumerate(_dk)}
+                feed_pt.update(extras_pt)
+                o = _model(feed_pt)
+                return jnp.concatenate([o[k] for k in _ok], axis=-1)
+
+            stack = tape.add_stack(pointwise, x, key_index, out_index, extras=extras)
+            for k in out_keys:
+                arr = batched_out[k]
+                tape.register_output(arr, stack, out_index[k])
+                out[k] = arr
+        else:
+            out.update(batched_out)
+
+    return out
+
+
+def evaluate_expressions(
+    models: Sequence,
+    input_dict: Mapping[str, jnp.ndarray],
+    output_exprs: Mapping[str, Callable],
+    extra_values: Optional[Mapping[str, jnp.ndarray]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Evaluate named output expressions (python closures over ``out`` or
+    lambdified sympy) against model forwards + derivative tape.
+
+    This is the body of the reference's ``ExpressionSolver.train_forward``
+    (expression.py:60-131) for one constraint; losses are applied by the
+    caller so the whole step stays one traced function.
+    """
+    with ad.tape_context() as tape:
+        out = forward_with_derivatives(models, input_dict, tape)
+        if extra_values:
+            out.update(extra_values)
+        results: Dict[str, jnp.ndarray] = {}
+        for name, expr in output_exprs.items():
+            if not callable(expr):
+                raise TypeError(
+                    f"output expression '{name}' must be callable (python closure "
+                    f"or ppsci.lambdify(sympy_expr)), got {type(expr)}"
+                )
+            results[name] = expr(out)
+        # carry area/weight columns through for integral-type losses
+        for aux in ("area", "sdf"):
+            if aux in out and aux not in results:
+                results[aux] = out[aux]
+    return results
