@@ -1,0 +1,90 @@
+"""Benchmark driver: Allen-Cahn PINN train steps/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The benchmark is the BASELINE.json north-star case: Allen-Cahn PINN, MLP
+4x256 + Fourier features + RWF + period embedding, CausalMSELoss(32) + IC
+MSE, GradNorm aggregation, batch 4096 collocation points resampled on device
+each step — the full jitted train step including 2nd-order derivative
+stacks, loss aggregation and the Adam update.
+
+vs_baseline: ratio against the reference PaddleScience implementation on one
+A100 (dygraph, per-constraint Python dispatch + 3 chained paddle.grad
+reverse passes). No published number exists for this exact case;
+REF_STEPS_PER_SEC below is an explicit documented estimate (O(100) steps/s
+for batch-4096 2nd-order PINN steps in eager-graph GPU frameworks) — judge
+accordingly.
+
+Usage: python bench.py [--smoke] [--steps N]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+REF_STEPS_PER_SEC = 100.0  # documented estimate, see module docstring
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny CPU-friendly run")
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch-size", type=int, default=4096)
+    args = ap.parse_args()
+
+    import jax
+
+    from examples.allen_cahn import build_solver
+    from paddlescience_tpu.parallel import mesh as mesh_mod
+
+    batch = 256 if args.smoke else args.batch_size
+    steps = 20 if args.smoke else args.steps
+
+    solver, _ = build_solver(
+        epochs=1,
+        iters_per_epoch=steps,
+        batch_size=batch,
+        eval_during_train=False,
+        with_validator=False,
+        output_dir=None,
+    )
+    step_fn = solver._build_train_step()
+
+    host_batches = {}
+    for name, cst in solver.constraint.items():
+        if cst.data_iter is not None:
+            inp, lab, wgt = next(cst.data_iter)
+            host_batches[name] = (
+                mesh_mod.shard_batch(inp, solver.mesh),
+                mesh_mod.shard_batch(lab, solver.mesh),
+                mesh_mod.shard_batch(wgt, solver.mesh),
+            )
+
+    state = solver.state
+    # compile + warmup
+    state, logs = step_fn(state, host_batches)
+    jax.block_until_ready(logs["loss"])
+    for _ in range(5):
+        state, logs = step_fn(state, host_batches)
+    jax.block_until_ready(logs["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, logs = step_fn(state, host_batches)
+    jax.block_until_ready(logs["loss"])
+    dt = time.perf_counter() - t0
+    steps_per_sec = steps / dt
+
+    n_chips = jax.device_count()
+    result = {
+        "metric": "allen_cahn_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec / n_chips, 3),
+        "unit": f"steps/s/chip (batch={batch}, {jax.devices()[0].platform})",
+        "vs_baseline": round(steps_per_sec / n_chips / REF_STEPS_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

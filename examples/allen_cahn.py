@@ -1,0 +1,195 @@
+"""Allen-Cahn PINN — the flagship benchmark case (BASELINE.json north star).
+
+TPU-native port of reference ``examples/allen_cahn/allen_cahn_default.py``:
+  u_t - 1e-4 u_xx + 5 u^3 - 5 u = 0,  (t,x) in [0,1] x [-1,1]
+  u(0,x) = x^2 cos(pi x),  periodic in x.
+
+Differences from the reference (both TPU-first):
+  * the PDE collocation batch is drawn ON DEVICE inside the jitted step
+    (DeviceSampledDataset) with t sorted for the causal loss — zero
+    host->device traffic per step (reference regenerates numpy batches,
+    examples/allen_cahn/allen_cahn_default.py:85-99);
+  * the reference validation data (allen_cahn.mat download) is replaced by a
+    built-in Fourier pseudo-spectral ETDRK4 solver (same role as the
+    reference's LBM/CUDA data generators — here a few numpy FFT lines).
+
+Run: python examples/allen_cahn.py [epochs] [iters_per_epoch]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def solve_allen_cahn_spectral(nx: int = 512, nt: int = 201, t_max: float = 1.0, eps2: float = 1e-4):
+    """Reference solution via Fourier pseudo-spectral ETDRK4
+    (Kassam & Trefethen 2005 scheme), periodic on [-1, 1]."""
+    L = 2.0
+    x = np.linspace(-1, 1, nx, endpoint=False)
+    u = (x**2) * np.cos(np.pi * x)
+    k = 2 * np.pi * np.fft.fftfreq(nx, d=L / nx)  # wavenumbers
+
+    lin = -eps2 * k**2 + 5.0  # linear operator in Fourier space (from +5u)
+    dt = 1e-4
+    steps_total = int(round(t_max / dt))
+    save_every = max(steps_total // (nt - 1), 1)
+
+    E = np.exp(dt * lin)
+    E2 = np.exp(dt * lin / 2)
+    M = 32  # quadrature points on unit circle for phi functions
+    r = np.exp(1j * np.pi * (np.arange(1, M + 1) - 0.5) / M)
+    LR = dt * lin[:, None] + r[None, :]
+    Q = dt * np.real(np.mean((np.exp(LR / 2) - 1) / LR, axis=1))
+    f1 = dt * np.real(np.mean((-4 - LR + np.exp(LR) * (4 - 3 * LR + LR**2)) / LR**3, axis=1))
+    f2 = dt * np.real(np.mean((2 + LR + np.exp(LR) * (-2 + LR)) / LR**3, axis=1))
+    f3 = dt * np.real(np.mean((-4 - 3 * LR - LR**2 + np.exp(LR) * (4 - LR)) / LR**3, axis=1))
+
+    def N_of(v_hat):
+        v = np.real(np.fft.ifft(v_hat))
+        return np.fft.fft(-5.0 * v**3)
+
+    v = np.fft.fft(u)
+    out = [u.copy()]
+    for step in range(1, steps_total + 1):
+        Nv = N_of(v)
+        a = E2 * v + Q * Nv
+        Na = N_of(a)
+        b = E2 * v + Q * Na
+        Nb = N_of(b)
+        c = E2 * a + Q * (2 * Nb - Nv)
+        Nc = N_of(c)
+        v = E * v + Nv * f1 + 2 * (Na + Nb) * f2 + Nc * f3
+        if step % save_every == 0 and len(out) < nt:
+            out.append(np.real(np.fft.ifft(v)))
+    while len(out) < nt:
+        out.append(out[-1])
+    t = np.linspace(0, t_max, nt)
+    return t.astype(np.float32), x.astype(np.float32), np.stack(out).astype(np.float32)
+
+
+def get_reference_solution(cache_path: str = "./dataset/allen_cahn_ref.npz"):
+    if os.path.exists(cache_path):
+        d = np.load(cache_path)
+        return d["t"], d["x"], d["usol"]
+    t, x, usol = solve_allen_cahn_spectral()
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    np.savez(cache_path, t=t, x=x, usol=usol)
+    return t, x, usol
+
+
+def build_solver(
+    epochs: int = 200,
+    iters_per_epoch: int = 1000,
+    batch_size: int = 4096,
+    output_dir: str = "./output_allen_cahn",
+    eval_during_train: bool = True,
+    with_validator: bool = True,
+    seed: int = 42,
+):
+    import jax
+    import jax.numpy as jnp
+
+    import paddlescience_tpu as psci
+    from paddlescience_tpu.constraint.base import Constraint
+    from paddlescience_tpu.data import DeviceSampledDataset
+    from paddlescience_tpu.loss import mtl
+
+    psci.utils.set_random_seed(seed)
+
+    # model per reference conf/allen_cahn_default.yaml MODEL section
+    model = psci.arch.MLP(
+        ("t", "x"),
+        ("u",),
+        num_layers=4,
+        hidden_size=256,
+        activation="tanh",
+        periods={"x": (2.0, False)},
+        fourier={"dim": 256, "scale": 1.0},
+        random_weight={"mean": 0.5, "std": 0.1},
+    )
+
+    equation = {"AllenCahn": psci.equation.AllenCahn(eps=0.01)}
+
+    t_star, x_star, u_ref = get_reference_solution()
+    t0, t1 = float(t_star[0]), float(t_star[-1])
+    x0, x1 = float(x_star[0]), float(x_star[-1])
+    u0 = u_ref[0, :]
+
+    # PDE constraint: device-side resampled collocation batch, t sorted
+    # (causal chunking needs time-ordered batches; reference sorts on host)
+    def sample_fn(key):
+        kt, kx = jax.random.split(key)
+        t = jnp.sort(jax.random.uniform(kt, (batch_size, 1), minval=t0, maxval=t1), axis=0)
+        x = jax.random.uniform(kx, (batch_size, 1), minval=x0, maxval=x1)
+        return {"t": t, "x": x}, {"allen_cahn": jnp.zeros((batch_size, 1))}, {}
+
+    pde = Constraint(DeviceSampledDataset(sample_fn), None, psci.loss.CausalMSELoss(32, "mean", tol=1.0), "PDE")
+    pde.output_expr = equation["AllenCahn"].equations
+
+    ic = psci.constraint.SupervisedConstraint(
+        {
+            "dataset": {
+                "name": "IterableNamedArrayDataset",
+                "input": {"t": np.full((len(x_star), 1), t0, np.float32), "x": x_star.reshape(-1, 1)},
+                "label": {"u": u0.reshape(-1, 1)},
+            },
+        },
+        psci.loss.MSELoss("mean"),
+        {"u": lambda out: out["u"]},
+        name="IC",
+    )
+    constraint = {"PDE": pde, "IC": ic}
+
+    lr = psci.optimizer.lr_scheduler.ExponentialDecay(
+        epochs=epochs, iters_per_epoch=iters_per_epoch, learning_rate=1e-3, gamma=0.9, decay_steps=2000
+    )()
+    optimizer = psci.optimizer.Adam(lr)(model)
+
+    validator = None
+    if with_validator:
+        tx = psci.utils.misc.cartesian_product(t_star, x_star).astype(np.float32)
+        validator = {
+            "u_validator": psci.validate.SupervisedValidator(
+                {
+                    "dataset": {
+                        "name": "NamedArrayDataset",
+                        "input": {"t": tx[:, 0:1], "x": tx[:, 1:2]},
+                        "label": {"u": u_ref.reshape(-1, 1)},
+                    },
+                    "batch_size": 16384,
+                },
+                psci.loss.MSELoss("mean"),
+                {"u": lambda out: out["u"]},
+                metric={"L2Rel": psci.metric.L2Rel()},
+                name="u_validator",
+            )
+        }
+
+    solver = psci.solver.Solver(
+        model,
+        constraint,
+        output_dir,
+        optimizer,
+        epochs=epochs,
+        iters_per_epoch=iters_per_epoch,
+        eval_during_train=eval_during_train,
+        eval_freq=10,
+        validator=validator,
+        equation=equation,
+        loss_aggregator=mtl.GradNorm(model, len(constraint), 1000, 0.9),
+        log_freq=100,
+        seed=seed,
+    )
+    return solver, (t_star, x_star, u_ref)
+
+
+if __name__ == "__main__":
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    solver, _ = build_solver(epochs=epochs, iters_per_epoch=iters)
+    solver.train()
+    metric, _ = solver.eval()
+    print(f"final L2Rel.u = {metric:.4e}")

@@ -4,6 +4,7 @@ import copy
 from typing import Dict
 
 from paddlescience_tpu.arch.base import Arch  # noqa: F401
+from paddlescience_tpu.arch.model_list import ModelList  # noqa: F401
 from paddlescience_tpu.arch.mlp import (  # noqa: F401
     MLP,
     FourierEmbedding,

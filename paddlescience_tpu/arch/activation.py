@@ -2,7 +2,7 @@
 
 TPU-native counterpart of reference ``ppsci/arch/activation.py:28-146``.
 Stateless activations are plain jnp functions (fully fusable by XLA);
-parametric ones (Stan, Swish/learnable-beta, Siren) are nnx modules.
+parametric ones (Stan, Swish) are ``psci.nn`` modules with Param leaves.
 """
 
 from __future__ import annotations
@@ -12,31 +12,32 @@ from typing import Callable, Union
 
 import jax
 import jax.numpy as jnp
-from flax import nnx
+
+from paddlescience_tpu.nn.core import Module, Param, Rngs
 
 __all__ = ["Stan", "Swish", "Siren", "get_activation"]
 
 
-class Stan(nnx.Module):
+class Stan(Module):
     """Self-scalable Tanh: tanh(x) * (1 + beta * x).
     Reference: ppsci/arch/activation.py:28 (https://arxiv.org/abs/2204.12589v1)."""
 
-    def __init__(self, out_features: int = 1, *, rngs: nnx.Rngs = None):
-        self.beta = nnx.Param(jnp.ones((out_features,)))
+    def __init__(self, out_features: int = 1, *, rngs: Rngs = None):
+        self.beta = Param(jnp.ones((out_features,)))
 
     def __call__(self, x):
-        return jnp.tanh(x) * (1 + self.beta.value * x)
+        return jnp.tanh(x) * (1 + self.beta * x)
 
 
-class Swish(nnx.Module):
+class Swish(Module):
     """x * sigmoid(beta * x) with learnable scalar beta.
     Reference: ppsci/arch/activation.py:49."""
 
-    def __init__(self, beta: float = 1.0, *, rngs: nnx.Rngs = None):
-        self.beta = nnx.Param(jnp.asarray(beta, jnp.float32))
+    def __init__(self, beta: float = 1.0, *, rngs: Rngs = None):
+        self.beta = Param(jnp.asarray(beta, jnp.float32))
 
     def __call__(self, x):
-        return x * jax.nn.sigmoid(self.beta.value * x)
+        return x * jax.nn.sigmoid(self.beta * x)
 
 
 class Siren:

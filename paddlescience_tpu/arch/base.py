@@ -1,8 +1,9 @@
 """Arch — base class for all networks (dict-keyed I/O).
 
 TPU-native counterpart of reference ``ppsci/arch/base.py:28-279``. Built on
-flax NNX so transforms can be registered by mutation (reference ergonomics)
-while the solver functionalizes the model with ``nnx.split`` for jit/grad.
+the pure-pytree module system (``psci.nn``) so transforms can be registered
+by mutation (reference ergonomics)
+while the solver functionalizes the model with ``nn.split`` for jit/grad.
 
 Conventions:
   * every input/output key maps to an array of shape ``(..., k)`` — usually
@@ -18,12 +19,13 @@ from typing import Callable, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import nnx
+
+from paddlescience_tpu.nn.core import Module
 
 __all__ = ["Arch"]
 
 
-class Arch(nnx.Module):
+class Arch(Module):
     """Base class for networks with dict-keyed inputs/outputs."""
 
     input_keys: Tuple[str, ...]
@@ -58,10 +60,6 @@ class Arch(nnx.Module):
         self._output_transform = transform
 
     # -- info -----------------------------------------------------------------
-    @property
-    def num_params(self) -> int:
-        state = nnx.state(self, nnx.Param)
-        return int(sum(np.prod(x.shape) for x in jax.tree.leaves(state) if hasattr(x, "shape")))
 
     def freeze(self):
         """Mark all params non-trainable (reference base.py:220). The solver

@@ -9,9 +9,11 @@ TPU-native counterparts of reference ``ppsci/arch/mlp.py``:
   * ``ModifiedMLP``                 (mlp.py:318)
   * ``PirateNetBlock`` / ``PirateNet`` (mlp.py:530/624)
 
-Same forward math (so convergence recipes transfer), but implemented as NNX
-modules whose matmuls XLA maps straight onto the MXU; all layers accept
-arbitrary leading batch dims so derivative stacks can vmap pointwise.
+Same forward math (so convergence recipes transfer), implemented on the
+framework's pure-pytree module system (``psci.nn``) — matmuls map straight
+onto the MXU and the whole net nests cleanly under vmap∘jacfwd∘jacfwd.
+All layers accept arbitrary leading batch dims so derivative stacks can
+vmap pointwise.
 """
 
 from __future__ import annotations
@@ -21,10 +23,11 @@ from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
-from flax import nnx
 
 from paddlescience_tpu.arch import activation as act_mod
 from paddlescience_tpu.arch import base
+from paddlescience_tpu.nn.core import Buffer, Lambda, Module, Param, Rngs
+from paddlescience_tpu.nn.layers import Linear
 from paddlescience_tpu.utils import initializer
 
 __all__ = [
@@ -39,28 +42,28 @@ __all__ = [
 ]
 
 
-class WeightNormLinear(nnx.Module):
+class WeightNormLinear(Module):
     """y = x @ (g * v / ||v||_col) + b. Reference mlp.py:31."""
 
-    def __init__(self, in_features: int, out_features: int, bias: bool = True, *, rngs: nnx.Rngs):
-        self.weight_v = nnx.Param(initializer.xavier_uniform_()(rngs.params(), (in_features, out_features)))
-        self.weight_g = nnx.Param(jnp.ones((out_features,)))
-        self.bias = nnx.Param(jnp.zeros((out_features,))) if bias else None
+    def __init__(self, in_features: int, out_features: int, bias: bool = True, *, rngs: Rngs):
+        self.weight_v = Param(initializer.xavier_uniform_()(rngs.params(), (in_features, out_features)))
+        self.weight_g = Param(jnp.ones((out_features,)))
+        self._use_bias = bias
+        if bias:
+            self.bias = Param(jnp.zeros((out_features,)))
 
     def __call__(self, x):
-        v = self.weight_v.value
+        v = self.weight_v
         norm = jnp.linalg.norm(v, axis=0, keepdims=True)
-        w = self.weight_g.value * v / norm
-        y = x @ w
-        if self.bias is not None:
-            y = y + self.bias.value
+        y = x @ (self.weight_g * v / norm)
+        if self._use_bias:
+            y = y + self.bias
         return y
 
 
-class RandomWeightFactorization(nnx.Module):
+class RandomWeightFactorization(Module):
     """W = g * v with g = exp(N(mean, std)) at init and v = W0/g (W0 glorot
-    normal), so the effective initial weight equals W0. Reference mlp.py:56.
-    """
+    normal), so the effective initial weight equals W0. Reference mlp.py:56."""
 
     def __init__(
         self,
@@ -70,76 +73,52 @@ class RandomWeightFactorization(nnx.Module):
         mean: float = 0.5,
         std: float = 0.1,
         *,
-        rngs: nnx.Rngs,
+        rngs: Rngs,
     ):
         w0 = initializer.glorot_normal_(rngs.params(), (in_features, out_features))
         g = jnp.exp(mean + std * jax.random.normal(rngs.params(), (out_features,)))
-        self.weight_g = nnx.Param(g)
-        self.weight_v = nnx.Param(w0 / g)
-        self.bias = nnx.Param(jnp.zeros((out_features,))) if bias else None
+        self.weight_g = Param(g)
+        self.weight_v = Param(w0 / g)
+        self._use_bias = bias
+        if bias:
+            self.bias = Param(jnp.zeros((out_features,)))
 
     def __call__(self, x):
-        y = x @ (self.weight_g.value * self.weight_v.value)
-        if self.bias is not None:
-            y = y + self.bias.value
+        y = x @ (self.weight_g * self.weight_v)
+        if self._use_bias:
+            y = y + self.bias
         return y
 
 
-class Linear(nnx.Module):
-    """Plain dense layer with paddle-style default init (U(±1/sqrt(fan_in)))
-    so reference convergence recipes transfer."""
-
-    def __init__(
-        self,
-        in_features: int,
-        out_features: int,
-        bias: bool = True,
-        kernel_init=None,
-        *,
-        rngs: nnx.Rngs,
-    ):
-        if kernel_init is None:
-            kernel_init = initializer.xavier_uniform_()
-        self.weight = nnx.Param(kernel_init(rngs.params(), (in_features, out_features)))
-        self.bias = nnx.Param(jnp.zeros((out_features,))) if bias else None
-
-    def __call__(self, x):
-        y = x @ self.weight.value
-        if self.bias is not None:
-            y = y + self.bias.value
-        return y
-
-
-class PeriodEmbedding(nnx.Module):
+class PeriodEmbedding(Module):
     """Replace key k's column with [cos(w x_k), sin(w x_k)], w = 2*pi/period,
     optionally trainable. Reference mlp.py:95."""
 
-    def __init__(self, periods: Dict[str, Tuple[float, bool]], *, rngs: nnx.Rngs = None):
+    def __init__(self, periods: Dict[str, Tuple[float, bool]], *, rngs: Rngs = None):
         self.keys = tuple(periods.keys())
-        self.freqs = {}
         for k, (p, trainable) in periods.items():
             w = jnp.asarray(2 * math.pi / float(p), jnp.float32)
-            self.freqs[k] = nnx.Param(w) if trainable else nnx.Variable(w)
+            setattr(self, f"freq_{k}", Param(w) if trainable else Buffer(w))
 
     def __call__(self, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         y = dict(x)
         for k in self.keys:
-            w = self.freqs[k].value
+            w = getattr(self, f"freq_{k}")
             y[k] = jnp.concatenate([jnp.cos(w * x[k]), jnp.sin(w * x[k])], axis=-1)
         return y
 
 
-class FourierEmbedding(nnx.Module):
+class FourierEmbedding(Module):
     """Random Fourier features [cos(xB), sin(xB)], B ~ N(0, scale^2).
     Reference mlp.py:117 (kernel is trainable, matching reference)."""
 
-    def __init__(self, in_features: int, out_features: int, scale: float, *, rngs: nnx.Rngs):
+    def __init__(self, in_features: int, out_features: int, scale: float, *, rngs: Rngs):
         if out_features % 2 != 0:
             raise ValueError(f"out_features must be even, but got {out_features}.")
-        self.kernel = nnx.Param(scale * jax.random.normal(rngs.params(), (in_features, out_features // 2)))
+        self.kernel = Param(scale * jax.random.normal(rngs.params(), (in_features, out_features // 2)))
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        z = x @ self.kernel.value
+        z = x @ self.kernel
         return jnp.concatenate([jnp.cos(z), jnp.sin(z)], axis=-1)
 
 
@@ -148,7 +127,7 @@ def _make_linear(
     out_features: int,
     weight_norm: bool,
     random_weight: Optional[Dict[str, float]],
-    rngs: nnx.Rngs,
+    rngs: Rngs,
     kernel_init=None,
 ):
     if weight_norm:
@@ -160,15 +139,15 @@ def _make_linear(
     return Linear(in_features, out_features, kernel_init=kernel_init, rngs=rngs)
 
 
-def _make_act(name: str, size: int, rngs: nnx.Rngs):
+def _make_act(name: str, size: int, rngs: Rngs) -> Module:
     act = act_mod.get_activation(name)
     if act is act_mod.Stan:
         return act(size, rngs=rngs)
     if act is act_mod.Swish:
         return act(1.0, rngs=rngs)
     if act is act_mod.Siren:
-        return act()
-    return act
+        return Lambda(act())
+    return Lambda(act)
 
 
 def _resolve_sizes(hidden_size, num_layers, what="num_layers"):
@@ -184,12 +163,7 @@ def _resolve_sizes(hidden_size, num_layers, what="num_layers"):
 
 
 class MLP(base.Arch):
-    """Multi layer perceptron network (reference ppsci/arch/mlp.py:139).
-
-    Args mirror the reference: input_keys/output_keys, num_layers,
-    hidden_size (int or list), activation, skip_connection, weight_norm,
-    input_dim/output_dim overrides, periods, fourier, random_weight.
-    """
+    """Multi layer perceptron network (reference ppsci/arch/mlp.py:139)."""
 
     def __init__(
         self,
@@ -206,11 +180,11 @@ class MLP(base.Arch):
         fourier: Optional[Dict[str, Union[float, int]]] = None,
         random_weight: Optional[Dict[str, float]] = None,
         *,
-        rngs: Optional[nnx.Rngs] = None,
+        rngs: Optional[Rngs] = None,
     ):
         super().__init__()
         if rngs is None:
-            rngs = nnx.Rngs(0)
+            rngs = Rngs(0)
         self.input_keys = tuple(input_keys)
         self.output_keys = tuple(output_keys)
         self.skip_connection = skip_connection
@@ -234,14 +208,12 @@ class MLP(base.Arch):
         for i, size in enumerate(sizes):
             kernel_init = None
             if activation == "siren":
-                kernel_init = (
-                    act_mod.Siren.first_layer_init if i == 0 else act_mod.Siren.hidden_layer_init()
-                )
+                kernel_init = act_mod.Siren.first_layer_init if i == 0 else act_mod.Siren.hidden_layer_init()
             linears.append(_make_linear(cur_size, size, weight_norm, random_weight, rngs, kernel_init))
             acts.append(_make_act(activation, size, rngs))
             cur_size = size
-        self.linears = nnx.List(linears)
-        self.acts = nnx.List(acts)
+        self.linears = linears
+        self.acts = acts
 
         out_dim = len(self.output_keys) if output_dim is None else output_dim
         self.last_fc = _make_linear(cur_size, out_dim, False, random_weight, rngs)
@@ -294,11 +266,11 @@ class ModifiedMLP(base.Arch):
         fourier: Optional[Dict[str, Union[float, int]]] = None,
         random_weight: Optional[Dict[str, float]] = None,
         *,
-        rngs: Optional[nnx.Rngs] = None,
+        rngs: Optional[Rngs] = None,
     ):
         super().__init__()
         if rngs is None:
-            rngs = nnx.Rngs(0)
+            rngs = Rngs(0)
         if not isinstance(hidden_size, int):
             raise ValueError(f"hidden_size should be int, but got {type(hidden_size)}")
         self.input_keys = tuple(input_keys)
@@ -323,12 +295,12 @@ class ModifiedMLP(base.Arch):
         self.embed_act_v = _make_act(activation, sizes[0], rngs)
 
         linears, acts = [], []
-        for i, size in enumerate(sizes):
+        for size in sizes:
             linears.append(_make_linear(cur_size, size, weight_norm, random_weight, rngs))
             acts.append(_make_act(activation, size, rngs))
             cur_size = size
-        self.linears = nnx.List(linears)
-        self.acts = nnx.List(acts)
+        self.linears = linears
+        self.acts = acts
         out_dim = len(self.output_keys) if output_dim is None else output_dim
         self.last_fc = _make_linear(cur_size, out_dim, False, random_weight, rngs)
 
@@ -365,7 +337,7 @@ class ModifiedMLP(base.Arch):
         return y
 
 
-class PirateNetBlock(nnx.Module):
+class PirateNetBlock(Module):
     """Residual adaptive block (reference ppsci/arch/mlp.py:530;
     arXiv:2402.00326). x^{l+1} = alpha*h + (1-alpha)*x, alpha init 0."""
 
@@ -375,12 +347,12 @@ class PirateNetBlock(nnx.Module):
         activation: str = "tanh",
         random_weight: Optional[Dict[str, float]] = None,
         *,
-        rngs: nnx.Rngs,
+        rngs: Rngs,
     ):
         self.linear1 = _make_linear(embed_dim, embed_dim, False, random_weight, rngs)
         self.linear2 = _make_linear(embed_dim, embed_dim, False, random_weight, rngs)
         self.linear3 = _make_linear(embed_dim, embed_dim, False, random_weight, rngs)
-        self.alpha = nnx.Param(jnp.zeros((1,)))
+        self.alpha = Param(jnp.zeros((1,)))
         self.act1 = _make_act(activation, embed_dim, rngs)
         self.act2 = _make_act(activation, embed_dim, rngs)
         self.act3 = _make_act(activation, embed_dim, rngs)
@@ -391,7 +363,7 @@ class PirateNetBlock(nnx.Module):
         g = self.act2(self.linear2(z1))
         z2 = g * u + (1 - g) * v
         h = self.act3(self.linear3(z2))
-        return self.alpha.value * h + (1 - self.alpha.value) * x
+        return self.alpha * h + (1 - self.alpha) * x
 
 
 class PirateNet(base.Arch):
@@ -411,11 +383,11 @@ class PirateNet(base.Arch):
         fourier: Optional[Dict[str, Union[float, int]]] = None,
         random_weight: Optional[Dict[str, float]] = None,
         *,
-        rngs: Optional[nnx.Rngs] = None,
+        rngs: Optional[Rngs] = None,
     ):
         super().__init__()
         if rngs is None:
-            rngs = nnx.Rngs(0)
+            rngs = Rngs(0)
         if not isinstance(hidden_size, int):
             raise ValueError(f"hidden_size should be int, but got {type(hidden_size)}")
         self.input_keys = tuple(input_keys)
@@ -442,7 +414,7 @@ class PirateNet(base.Arch):
         for size in sizes:
             blocks.append(PirateNetBlock(cur_size, activation=activation, random_weight=random_weight, rngs=rngs))
             cur_size = size
-        self.blocks = nnx.List(blocks)
+        self.blocks = blocks
         out_dim = len(self.output_keys) if output_dim is None else output_dim
         self.last_fc = _make_linear(cur_size, out_dim, False, random_weight, rngs)
 

@@ -1,0 +1,152 @@
+"""Data layer (reference ``ppsci/data``): datasets + host batch loader.
+
+The reference builds paddle DataLoaders with worker processes and swaps in a
+DistributedBatchSampler under DDP (``ppsci/data/__init__.py:59-209``). Here
+loading is a plain host-side iterator (PINN data is small and generated, not
+decoded); multi-host sharding is rank-strided indexing; and the TPU-native
+fast path is ``DeviceSampledDataset`` where batches are drawn *inside* the
+jitted step with a threaded PRNG key — no loader at all.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from paddlescience_tpu.data import dataset as dataset_mod  # noqa: F401
+from paddlescience_tpu.data.dataset.array_dataset import (  # noqa: F401
+    ContinuousNamedArrayDataset,
+    DeviceSampledDataset,
+    IterableNamedArrayDataset,
+    NamedArrayDataset,
+)
+from paddlescience_tpu.data.dataset.file_dataset import (  # noqa: F401
+    CSVDataset,
+    IterableCSVDataset,
+    IterableMatDataset,
+    IterableNPZDataset,
+    MatDataset,
+    NPZDataset,
+)
+from paddlescience_tpu.data.process.transform import Compose, build_transforms  # noqa: F401
+
+__all__ = [
+    "BatchLoader",
+    "build_dataset",
+    "build_dataloader",
+    "NamedArrayDataset",
+    "IterableNamedArrayDataset",
+    "ContinuousNamedArrayDataset",
+    "DeviceSampledDataset",
+    "MatDataset",
+    "IterableMatDataset",
+    "CSVDataset",
+    "IterableCSVDataset",
+    "NPZDataset",
+    "IterableNPZDataset",
+]
+
+_DATASETS = {
+    "NamedArrayDataset": NamedArrayDataset,
+    "IterableNamedArrayDataset": IterableNamedArrayDataset,
+    "ContinuousNamedArrayDataset": ContinuousNamedArrayDataset,
+    "DeviceSampledDataset": DeviceSampledDataset,
+    "MatDataset": MatDataset,
+    "IterableMatDataset": IterableMatDataset,
+    "CSVDataset": CSVDataset,
+    "IterableCSVDataset": IterableCSVDataset,
+    "NPZDataset": NPZDataset,
+    "IterableNPZDataset": IterableNPZDataset,
+}
+
+
+def register_dataset(name: str, cls) -> None:
+    _DATASETS[name] = cls
+
+
+def build_dataset(cfg):
+    """Build a dataset from {"name": ..., **kwargs}; 'transforms' sub-config
+    is compiled with build_transforms."""
+    cfg = copy.deepcopy(dict(cfg))
+    name = cfg.pop("name")
+    if name not in _DATASETS:
+        raise ValueError(f"unknown dataset '{name}', available: {sorted(_DATASETS)}")
+    if "transforms" in cfg and cfg["transforms"] is not None and not callable(cfg["transforms"]):
+        cfg["transforms"] = build_transforms(cfg["transforms"])
+    return _DATASETS[name](**cfg)
+
+
+class BatchLoader:
+    """Infinite host-side batch iterator yielding (input, label, weight)
+    numpy dict tuples with *static shapes* (jit-cache friendly).
+
+    For indexed datasets: reshuffled epochs, rank-strided shard per process,
+    drop_last semantics so every step sees exactly batch_size points.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: Optional[int] = None,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        num_replicas: Optional[int] = None,
+        rank: Optional[int] = None,
+        seed: int = 42,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_replicas = num_replicas if num_replicas is not None else jax.process_count()
+        self.rank = rank if rank is not None else jax.process_index()
+        self.seed = seed
+        mode = getattr(dataset, "batch_mode", "indexed")
+        if mode == "indexed":
+            n_local = len(dataset) // self.num_replicas
+            if batch_size is None:
+                self.batch_size = n_local
+            self.num_batches = max(n_local // self.batch_size, 1) if drop_last else -(-n_local // self.batch_size)
+        else:
+            self.num_batches = 1
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Tuple[Dict, Dict, Dict]]:
+        mode = getattr(self.dataset, "batch_mode", "indexed")
+        if mode in ("full", "generator"):
+            yield from iter(self.dataset)
+            return
+        if mode == "device":
+            raise TypeError("DeviceSampledDataset has no host loader; the solver samples it in-step")
+
+        rng = np.random.default_rng(self.seed + self.rank)
+        n = len(self.dataset)
+        while True:
+            idx = rng.permutation(n) if self.shuffle else np.arange(n)
+            idx = idx[self.rank :: self.num_replicas]  # per-process shard
+            n_local = len(idx)
+            nb = n_local // self.batch_size if self.drop_last else -(-n_local // self.batch_size)
+            for b in range(max(nb, 1)):
+                sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                if len(sel) == 0:
+                    sel = idx[: self.batch_size]
+                yield self.dataset[sel]
+
+
+def build_dataloader(dataset, cfg) -> BatchLoader:
+    """cfg: {"batch_size": int, "sampler": {"name", "shuffle", "drop_last"}}
+    (reference data/__init__.py:59-209 contract)."""
+    cfg = copy.deepcopy(dict(cfg or {}))
+    sampler_cfg = dict(cfg.get("sampler", {}))
+    return BatchLoader(
+        dataset,
+        batch_size=cfg.get("batch_size"),
+        shuffle=sampler_cfg.get("shuffle", False),
+        drop_last=sampler_cfg.get("drop_last", True),
+        seed=cfg.get("seed", 42),
+    )

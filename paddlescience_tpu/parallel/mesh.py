@@ -1,0 +1,73 @@
+"""Device mesh & sharding helpers — the communication layer.
+
+TPU-native replacement for the reference's fleet/NCCL distribution
+(``ppsci/solver/solver.py:299-412``, ``solver/train.py:168-171``,
+``data/__init__.py:76-99``): a ``jax.sharding.Mesh`` with a ``data`` axis
+(data parallel over ICI) and a ``model`` axis (reserved for tensor/operator
+sharding). Batches are sharded on ``data``; params are replicated; XLA
+inserts the psum for gradient reduction inside the jitted step — no
+hand-written allreduce pass.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "get_default_mesh", "set_default_mesh", "shard_batch", "replicate"]
+
+_DEFAULT_MESH: Optional[Mesh] = None
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices. With one chip
+    this degenerates gracefully (all collectives become no-ops)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"data({data}) * model({model}) != device count({n})")
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def set_default_mesh(mesh: Mesh) -> None:
+    global _DEFAULT_MESH
+    _DEFAULT_MESH = mesh
+
+
+def get_default_mesh() -> Mesh:
+    global _DEFAULT_MESH
+    if _DEFAULT_MESH is None:
+        _DEFAULT_MESH = make_mesh()
+    return _DEFAULT_MESH
+
+
+def shard_batch(tree, mesh: Optional[Mesh] = None):
+    """device_put a host batch pytree with leading axis sharded over "data".
+    Arrays whose leading dim doesn't divide the data axis are replicated."""
+    mesh = mesh or get_default_mesh()
+    n_data = mesh.shape["data"]
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n_data == 0 and x.shape[0] > 0:
+            spec = P("data", *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def replicate(tree, mesh: Optional[Mesh] = None):
+    mesh = mesh or get_default_mesh()
+    return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)

@@ -1,0 +1,533 @@
+"""Solver — the training engine.
+
+TPU-native counterpart of reference ``ppsci/solver/solver.py:62-1117`` +
+``solver/train.py`` + ``solver/eval.py``. The architectural difference is the
+point of this rebuild: instead of a Python hot loop dispatching per
+constraint (forward → expression walk → loss → backward → fused allreduce →
+optimizer), the Solver builds **one jitted train step** closing over all
+constraints. Model forwards, derivative stacks, residual expressions, loss
+aggregation (GradNorm & co.), the optax update, EMA, and the data-parallel
+gradient reduction (GSPMD inserts the psum over the mesh's "data" axis) all
+compile into a single XLA executable per step.
+
+Data parallelism: params are replicated, batch leading axes are sharded over
+the mesh "data" axis (``parallel.mesh``); collectives ride ICI. This replaces
+fleet.init/DataParallel/fused_allreduce (reference solver.py:299-412,
+train.py:168-171) with compiler-inserted reductions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+from paddlescience_tpu import optimizer as optimizer_mod
+from paddlescience_tpu.arch.base import Arch
+from paddlescience_tpu.arch.model_list import ModelList
+from paddlescience_tpu.autodiff import ad
+from paddlescience_tpu.loss import mtl
+from paddlescience_tpu.parallel import mesh as mesh_mod
+from paddlescience_tpu.utils import expression, logger, misc, save_load
+from paddlescience_tpu.utils import symbolic as symbolic_mod
+
+__all__ = ["Solver"]
+
+
+def _global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def _convert_expr(output_expr: Dict[str, Any]) -> Dict[str, Callable]:
+    """sympy → callable conversion for constraint/validator expressions
+    (reference solver.py:496-535)."""
+    return {
+        k: (symbolic_mod.lambdify(v) if isinstance(v, sp.Basic) else v)
+        for k, v in output_expr.items()
+    }
+
+
+class Solver:
+    """Drives training / evaluation / inference over constraints+validators."""
+
+    def __init__(
+        self,
+        model: Arch,
+        constraint: Optional[Dict[str, Any]] = None,
+        output_dir: Optional[str] = "./output",
+        optimizer: Optional[optimizer_mod.Optimizer] = None,
+        lr_scheduler=None,
+        epochs: int = 5,
+        iters_per_epoch: int = 20,
+        update_freq: int = 1,
+        save_freq: int = 0,
+        log_freq: int = 10,
+        eval_during_train: bool = False,
+        start_eval_epoch: int = 1,
+        eval_freq: int = 1,
+        seed: int = 42,
+        equation: Optional[Dict[str, Any]] = None,
+        validator: Optional[Dict[str, Any]] = None,
+        visualizer: Optional[Dict[str, Any]] = None,
+        use_amp: bool = False,
+        amp_level: str = "O1",
+        pretrained_model_path: Optional[str] = None,
+        checkpoint_path: Optional[str] = None,
+        compute_metric_by_batch: bool = False,
+        eval_with_no_grad: bool = True,
+        to_static: bool = False,
+        loss_aggregator: Optional[mtl.LossAggregator] = None,
+        ema_avg: Optional[Any] = None,
+        cfg: Optional[Dict] = None,
+    ):
+        # -- config overlay (reference solver.py:164-168,1078-1117) -----------
+        if cfg is not None:
+            train_cfg = cfg.get("TRAIN", {}) if isinstance(cfg, dict) else {}
+            epochs = train_cfg.get("epochs", epochs)
+            iters_per_epoch = train_cfg.get("iters_per_epoch", iters_per_epoch)
+            update_freq = train_cfg.get("update_freq", update_freq)
+            save_freq = train_cfg.get("save_freq", save_freq)
+            eval_during_train = train_cfg.get("eval_during_train", eval_during_train)
+            eval_freq = train_cfg.get("eval_freq", eval_freq)
+            start_eval_epoch = train_cfg.get("start_eval_epoch", start_eval_epoch)
+            pretrained_model_path = train_cfg.get("pretrained_model_path", pretrained_model_path)
+            checkpoint_path = train_cfg.get("checkpoint_path", checkpoint_path)
+            seed = cfg.get("seed", seed)
+            log_freq = cfg.get("log_freq", log_freq)
+            output_dir = cfg.get("output_dir", output_dir)
+            eval_cfg = cfg.get("EVAL", {}) if isinstance(cfg, dict) else {}
+            compute_metric_by_batch = eval_cfg.get("compute_metric_by_batch", compute_metric_by_batch)
+            eval_with_no_grad = eval_cfg.get("eval_with_no_grad", eval_with_no_grad)
+
+        self.model = model
+        self.constraint = constraint or {}
+        self.output_dir = output_dir
+        self.optimizer = optimizer
+        self.epochs = epochs
+        self.iters_per_epoch = iters_per_epoch
+        self.update_freq = update_freq
+        self.save_freq = save_freq
+        self.log_freq = log_freq
+        self.eval_during_train = eval_during_train
+        self.start_eval_epoch = start_eval_epoch
+        self.eval_freq = eval_freq
+        self.equation = equation or {}
+        self.validator = validator
+        self.visualizer = visualizer
+        self.use_amp = use_amp
+        self.amp_level = amp_level
+        self.compute_metric_by_batch = compute_metric_by_batch
+        self.loss_aggregator = loss_aggregator or mtl.Sum()
+        self.ema_avg = ema_avg
+        self.cur_metric: Dict[str, float] = {}
+        self.best_metric = {"metric": float("inf"), "epoch": 0}
+
+        misc.set_random_seed(seed)
+        logger.ensure_logger()
+
+        # -- mesh / data parallel ------------------------------------------------
+        self.mesh = mesh_mod.get_default_mesh()
+        self.world_size = self.mesh.devices.size
+
+        # -- models list ---------------------------------------------------------
+        self.models: List[Arch] = list(model.model_list) if isinstance(model, ModelList) else [model]
+
+        # -- functionalize (pure-pytree module system, nn/core.py) ---------------
+        self._params0 = model.param_tree()
+        self._rest0 = model.buffer_tree()
+
+        # -- learnable PDE parameters (inverse problems) --------------------------
+        eq_params = {}
+        for eq in self.equation.values():
+            eq_params.update(getattr(eq, "learnable_parameters", {}))
+        self._eq_params0 = eq_params
+
+        # -- sympy -> callable for all expressions --------------------------------
+        for cst in self.constraint.values():
+            cst.output_expr = _convert_expr(cst.output_expr)
+        if self.validator:
+            for v in self.validator.values():
+                v.output_expr = _convert_expr(v.output_expr)
+
+        # -- initial TrainState ----------------------------------------------------
+        self.state = self._init_state(seed)
+
+        if pretrained_model_path is not None:
+            self.state["params"] = save_load.load_pretrain(pretrained_model_path, self.state["params"])
+        if checkpoint_path is not None:
+            restored = save_load.load_checkpoint(checkpoint_path, self.state)
+            metric = restored.pop("_metric", {})
+            self.state = restored
+            if "metric" in metric:
+                self.best_metric = metric
+
+        self._train_step = None
+        self._eval_fns: Dict[str, Callable] = {}
+        self._predict_fn = None
+        self._lbfgs_mode = bool(optimizer is not None and getattr(optimizer, "is_lbfgs", False))
+
+    # ------------------------------------------------------------------ state --
+    def _init_state(self, seed: int) -> Dict[str, Any]:
+        state: Dict[str, Any] = {
+            "params": self._params0,
+            "rest": self._rest0,
+            "step": jnp.zeros((), jnp.int32),
+            "eq_params": dict(self._eq_params0),
+            "agg_state": self.loss_aggregator.init_state(),
+            "rng": jax.random.PRNGKey(seed),
+        }
+        if self.optimizer is not None:
+            tx = self._tx()
+            state["opt_state"] = tx.init(self._opt_target(state))
+        if self.ema_avg is not None:
+            # independent copies — aliasing params would break buffer donation
+            state["avg_params"] = jax.tree.map(lambda x: jnp.array(x, copy=True), state["params"])
+        return state
+
+    def _tx(self):
+        import optax
+
+        tx = self.optimizer.tx
+        if self.update_freq > 1 and not self._lbfgs_mode_safe():
+            tx = optax.MultiSteps(tx, every_k_schedule=self.update_freq)
+        return tx
+
+    def _lbfgs_mode_safe(self):
+        return bool(self.optimizer is not None and getattr(self.optimizer, "is_lbfgs", False))
+
+    def _opt_target(self, state):
+        """What the optimizer updates: (model params, eq params)."""
+        return (state["params"], state["eq_params"])
+
+    # ------------------------------------------------------- forward plumbing --
+    @property
+    def _model_views(self):
+        """Per-model views of self.model (live module; values come from the
+        bound overlay during traced calls)."""
+        return self.models
+
+    def _constraint_losses(self, params, rest, eq_params, batches) -> Dict[str, jnp.ndarray]:
+        """All constraint losses, one traced graph (reference
+        expression.py:60-131 + train.py:100-140 fused)."""
+        losses: Dict[str, jnp.ndarray] = {}
+        with self.model.bind(params, rest):
+            for name, cst in self.constraint.items():
+                inp, lab, wgt = batches[name]
+                outputs = expression.evaluate_expressions(
+                    self.models, inp, cst.output_expr, extra_values=eq_params
+                )
+                loss_dict = cst.loss(outputs, lab, wgt if wgt else None)
+                losses[name] = sum(loss_dict.values())
+        return losses
+
+    # ------------------------------------------------------------- train step --
+    def _build_train_step(self):
+        tx = self._tx()
+        agg = self.loss_aggregator
+        names = list(self.constraint.keys())
+        device_csts = {
+            name: cst for name, cst in self.constraint.items() if cst.data_iter is None
+        }
+
+        def step_fn(state, host_batches):
+            rng, sample_key, agg_key = jax.random.split(state["rng"], 3)
+            step = state["step"]
+
+            batches = dict(host_batches)
+            for i, (name, cst) in enumerate(device_csts.items()):
+                batches[name] = cst.dataset.sample_fn(jax.random.fold_in(sample_key, i))
+
+            rest = state["rest"]
+
+            def losses_fn(target):
+                params, eq_params = target
+                return self._constraint_losses(params, rest, eq_params, batches)
+
+            target = (state["params"], state["eq_params"])
+
+            grad_norms = None
+            if agg.needs_grad_norms:
+                freq = getattr(agg, "update_freq", 1000)
+
+                def compute_norms(_):
+                    norms = []
+                    for name in names:
+                        g = jax.grad(lambda t, n=name: losses_fn(t)[n])(target)
+                        norms.append(_global_norm(g))
+                    return jnp.stack(norms)
+
+                grad_norms = jax.lax.cond(
+                    step % freq == 0, compute_norms, lambda _: jnp.ones(len(names)), None
+                )
+
+            def total_fn(target):
+                losses = losses_fn(target)
+                total, new_agg = agg.aggregate(
+                    [losses[n] for n in names], state["agg_state"], step,
+                    grad_norms=grad_norms, key=agg_key,
+                )
+                return total, (losses, new_agg)
+
+            if agg.needs_grads:
+                losses = losses_fn(target)
+                per_loss_grads = [jax.grad(lambda t, n=name: losses_fn(t)[n])(target) for name in names]
+                grads, new_agg = agg.transform_grads(per_loss_grads, state["agg_state"], agg_key)
+                total = jnp.sum(jnp.stack([losses[n] for n in names]))
+            else:
+                (total, (losses, new_agg)), grads = jax.value_and_grad(total_fn, has_aux=True)(target)
+
+            updates, new_opt_state = tx.update(grads, state["opt_state"], target)
+            import optax
+
+            new_target = optax.apply_updates(target, updates)
+            new_params, new_eq_params = new_target
+
+            new_state = dict(state)
+            new_state.update(
+                params=new_params,
+                eq_params=new_eq_params,
+                opt_state=new_opt_state,
+                agg_state=new_agg,
+                rng=rng,
+                step=step + 1,
+            )
+            if self.ema_avg is not None:
+                new_state["avg_params"] = self.ema_avg.update_fn(state["avg_params"], new_params, step + 1)
+
+            logs = {"loss": total, **{f"loss/{n}": losses[n] for n in names}}
+            logs["lr"] = self.optimizer.lr_fn(step)
+            return new_state, logs
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_lbfgs_step(self):
+        """L-BFGS with zoom line search — value_and_grad threaded through opt
+        state (reference train.py:216-319 closure pattern)."""
+        import optax
+
+        tx = self.optimizer.tx
+        names = list(self.constraint.keys())
+
+        def step_fn(state, host_batches):
+            rest = state["rest"]
+            batches = dict(host_batches)
+
+            def total_fn(target):
+                params, eq_params = target
+                losses = self._constraint_losses(params, rest, eq_params, batches)
+                return jnp.sum(jnp.stack([losses[n] for n in names]))
+
+            target = (state["params"], state["eq_params"])
+            value, grad = optax.value_and_grad_from_state(total_fn)(target, state=state["opt_state"])
+            updates, new_opt_state = tx.update(
+                grad, state["opt_state"], target, value=value, grad=grad, value_fn=total_fn
+            )
+            new_target = optax.apply_updates(target, updates)
+            new_state = dict(state)
+            new_state.update(
+                params=new_target[0],
+                eq_params=new_target[1],
+                opt_state=new_opt_state,
+                step=state["step"] + 1,
+            )
+            return new_state, {"loss": value, "lr": jnp.asarray(0.0)}
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------- train --
+    def train(self) -> None:
+        """Training loop (reference solver.py:544-680, train.py:58-213)."""
+        if self._train_step is None:
+            self._train_step = self._build_lbfgs_step() if self._lbfgs_mode_safe() else self._build_train_step()
+
+        put = lambda tree: mesh_mod.shard_batch(tree, self.mesh)
+        reader_meter = misc.AverageMeter("reader_cost", postfix="s")
+        batch_meter = misc.AverageMeter("batch_cost", postfix="s")
+        loss_meter = misc.AverageMeter("loss")
+
+        start_epoch = int(self.best_metric.get("epoch", 0)) + 1
+        global_start = time.perf_counter()
+        for epoch in range(start_epoch, self.epochs + 1):
+            for it in range(self.iters_per_epoch):
+                t0 = time.perf_counter()
+                host_batches = {}
+                for name, cst in self.constraint.items():
+                    if cst.data_iter is not None:
+                        inp, lab, wgt = next(cst.data_iter)
+                        host_batches[name] = (put(inp), put(lab), put(wgt))
+                reader_meter.update(time.perf_counter() - t0)
+
+                self.state, logs = self._train_step(self.state, host_batches)
+                step = int(self.state["step"])
+                if step % self.log_freq == 0 or it == self.iters_per_epoch - 1:
+                    logs = jax.device_get(logs)
+                    loss_meter.update(float(logs["loss"]))
+                    batch_meter.update(time.perf_counter() - t0)
+                    total_steps = self.epochs * self.iters_per_epoch
+                    eta = (time.perf_counter() - global_start) / max(step, 1) * (total_steps - step)
+                    loss_str = ", ".join(
+                        f"{k.split('/', 1)[1]}: {float(v):.5f}" for k, v in logs.items() if k.startswith("loss/")
+                    )
+                    logger.info(
+                        f"[Train][Epoch {epoch}/{self.epochs}][Iter {it + 1}/{self.iters_per_epoch}] "
+                        f"lr: {float(logs['lr']):.2e}, loss: {float(logs['loss']):.5f}"
+                        + (f" ({loss_str})" if loss_str else "")
+                        + f", eta: {eta:.0f}s"
+                    )
+                    logger.scalar({k: float(v) for k, v in logs.items()}, step)
+
+            # -- eval during train (reference solver.py:575-640) ----------------
+            if (
+                self.eval_during_train
+                and self.validator
+                and epoch % self.eval_freq == 0
+                and epoch >= self.start_eval_epoch
+            ):
+                target_metric, _ = self.eval(epoch)
+                if target_metric < self.best_metric["metric"]:
+                    self.best_metric = {"metric": target_metric, "epoch": epoch}
+                    save_load.save_checkpoint(
+                        self.state, self.output_dir, "best_model", metric=self.best_metric
+                    )
+
+            if self.save_freq > 0 and epoch % self.save_freq == 0:
+                save_load.save_checkpoint(self.state, self.output_dir, f"epoch_{epoch}")
+            save_load.save_checkpoint(
+                self.state, self.output_dir, "latest",
+                metric={"metric": self.best_metric["metric"], "epoch": epoch},
+                print_log=False,
+            )
+
+    # -------------------------------------------------------------------- eval --
+    def _build_eval_fn(self, v_name: str):
+        v = self.validator[v_name]
+
+        def eval_fn(params, rest, eq_params, inp):
+            with self.model.bind(params, rest):
+                return expression.evaluate_expressions(self.models, inp, v.output_expr, extra_values=eq_params)
+
+        return jax.jit(eval_fn)
+
+    def eval(self, epoch_id: Optional[int] = None) -> Tuple[float, Dict[str, Dict[str, float]]]:
+        """Full validation sweep (reference solver.py:683-710, eval.py:63-187).
+        Returns (target_metric = first metric value, metric dict group)."""
+        if not self.validator:
+            raise ValueError("no validator available")
+        params = self.state.get("avg_params", self.state["params"]) if False else self.state["params"]
+        rest, eq_params = self.state["rest"], self.state["eq_params"]
+
+        metric_group: Dict[str, Dict[str, float]] = {}
+        target_metric = None
+        for name, v in self.validator.items():
+            if name not in self._eval_fns:
+                self._eval_fns[name] = self._build_eval_fn(name)
+            eval_fn = self._eval_fns[name]
+
+            all_out: Dict[str, List[np.ndarray]] = {}
+            all_lab: Dict[str, List[np.ndarray]] = {}
+            losses = []
+            n_batches = max(len(v.data_loader), 1)
+            it = iter(v.data_loader)
+            for _ in range(n_batches):
+                inp, lab, wgt = next(it)
+                inp = {k: jnp.asarray(x) for k, x in inp.items()}
+                out = eval_fn(params, rest, eq_params, inp)
+                loss_dict = v.loss(out, {k: jnp.asarray(x) for k, x in lab.items()}, None)
+                losses.append(float(sum(jax.device_get(list(loss_dict.values())))))
+                for k in v.output_keys:
+                    all_out.setdefault(k, []).append(np.asarray(out[k]))
+                    all_lab.setdefault(k, []).append(np.asarray(lab[k]))
+
+            full_out = {k: np.concatenate(vv, axis=0) for k, vv in all_out.items()}
+            full_lab = {k: np.concatenate(vv, axis=0) for k, vv in all_lab.items()}
+            metric_group[name] = {}
+            for m_name, metric_fn in v.metric.items():
+                m = metric_fn({k: jnp.asarray(x) for k, x in full_out.items()}, {k: jnp.asarray(x) for k, x in full_lab.items()})
+                for key, val in m.items():
+                    metric_group[name][f"{m_name}.{key}"] = float(val)
+                    if target_metric is None:
+                        target_metric = float(val)
+            logger.info(
+                f"[Eval][{name}] loss: {np.mean(losses):.5f}, "
+                + ", ".join(f"{k}: {val:.5f}" for k, val in metric_group[name].items())
+            )
+        return target_metric if target_metric is not None else float(np.mean(losses)), metric_group
+
+    # ----------------------------------------------------------------- predict --
+    def predict(
+        self,
+        input_dict: Dict[str, np.ndarray],
+        expr_dict: Optional[Dict[str, Callable]] = None,
+        batch_size: Optional[int] = 64,
+        return_numpy: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Batched inference (reference solver.py:728-872). Pads the last
+        batch to keep shapes static, trims after."""
+        params, rest, eq_params = self.state["params"], self.state["rest"], self.state["eq_params"]
+        num = len(next(iter(input_dict.values())))
+        if batch_size is None or batch_size >= num:
+            batch_size = num
+
+        if self._predict_fn is None:
+            exprs = _convert_expr(expr_dict) if expr_dict else None
+
+            def fwd(params, rest, eq_params, inp):
+                with self.model.bind(params, rest):
+                    if exprs is None:
+                        with ad.tape_context() as tape:
+                            out = expression.forward_with_derivatives(self.models, inp, tape)
+                        return {k: out[k] for k in set().union(*(m.output_keys for m in self.models))}
+                    return expression.evaluate_expressions(self.models, inp, exprs, extra_values=eq_params)
+
+            self._predict_fn = jax.jit(fwd)
+
+        outs: Dict[str, List[np.ndarray]] = {}
+        for lo in range(0, num, batch_size):
+            hi = min(lo + batch_size, num)
+            batch = {k: v[lo:hi] for k, v in input_dict.items()}
+            pad = batch_size - (hi - lo)
+            if pad:
+                batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)], 0) for k, v in batch.items()}
+            out = self._predict_fn(params, rest, eq_params, {k: jnp.asarray(v) for k, v in batch.items()})
+            for k, v in out.items():
+                arr = np.asarray(v)
+                outs.setdefault(k, []).append(arr[: hi - lo] if pad else arr)
+        result = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+        if not return_numpy:
+            result = {k: jnp.asarray(v) for k, v in result.items()}
+        return result
+
+    # ------------------------------------------------------------------ export --
+    def export(self, input_spec=None, export_path: Optional[str] = None, **kwargs) -> Callable:
+        """Return (and optionally checkpoint) a jitted inference callable —
+        the TPU-native replacement for paddle.jit.save (reference
+        solver.py:874-959): XLA recompiles from the saved params + module."""
+        params, rest = self.state["params"], self.state["rest"]
+
+        @jax.jit
+        def infer_fn(inp):
+            with self.model.bind(params, rest):
+                return self.model(inp)
+
+        if export_path:
+            save_load.save_checkpoint({"params": params, "rest": rest}, os.path.dirname(export_path) or ".", os.path.basename(export_path))
+        return infer_fn
+
+    # --------------------------------------------------------------- visualize --
+    def visualize(self, epoch_id: Optional[int] = None):
+        if not self.visualizer:
+            raise ValueError("no visualizer available")
+        for name, vis in self.visualizer.items():
+            pred = self.predict(vis.input_dict, vis.output_expr, vis.batch_size, return_numpy=True)
+            vis.save(os.path.join(self.output_dir or ".", f"visual/{name}"), {**vis.input_dict, **pred})
+
+    # ---------------------------------------------------------------- finetune --
+    def finetune(self, pretrained_model_path: str) -> None:
+        self.state["params"] = save_load.load_pretrain(pretrained_model_path, self.state["params"])
+        self.train()

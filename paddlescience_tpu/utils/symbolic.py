@@ -131,6 +131,15 @@ class _Lowerer:
             raise ValueError("complex unit not supported in residual expressions")
         if isinstance(expr, sp.Symbol):
             return self._lookup(expr.name)
+        # Max/Min/Heaviside are not sp.Function subclasses — handle early
+        if expr.func in (sp.Max, sp.Min):
+            op = jnp.maximum if expr.func is sp.Max else jnp.minimum
+            vals = [self.eval(a) for a in expr.args]
+            return functools.reduce(op, vals)
+        if expr.func is sp.Heaviside:
+            xv = self.eval(expr.args[0])
+            h0 = self.eval(expr.args[1]) if len(expr.args) > 1 else 0.5
+            return _heaviside(xv, h0)
         if isinstance(expr, sp.Derivative):
             val = self.eval(expr.args[0])
             for symbol, order in expr.args[1:]:
@@ -138,6 +147,16 @@ class _Lowerer:
                 for _ in range(int(order)):
                     val = ad.jacobian(val, coord)
             return val
+        if isinstance(expr, sp.Piecewise):
+            result = None
+            for value, cond in reversed(expr.args):
+                v = self.eval(value)
+                if cond is sp.true or cond == True:  # noqa: E712
+                    result = v
+                else:
+                    c = self.eval(cond)
+                    result = v if result is None else jnp.where(c, v, result)
+            return result
         if isinstance(expr, sp.Function):
             fname = str(expr.func)
             if fname == DETACH_FUNC_NAME:

@@ -1,0 +1,146 @@
+"""Autodiff tape vs finite differences (SURVEY.md §4: the reference tests
+equations against a hand-written grad oracle; we use central differences)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import paddlescience_tpu as psci
+from paddlescience_tpu.autodiff import ad
+from paddlescience_tpu.utils import expression
+
+
+def _fd(f, x, i, h=1e-2):
+    xp, xm = x.copy(), x.copy()
+    xp[:, i] += h
+    xm[:, i] -= h
+    return (f(xp) - f(xm)) / (2 * h)
+
+
+def _fd2(f, x, i, h=1e-2):
+    """five-point stencil: O(h^4) truncation, f32-safe at h=1e-2."""
+    def shift(d):
+        xs = x.copy()
+        xs[:, i] += d
+        return f(xs)
+    return (-shift(2 * h) + 16 * shift(h) - 30 * f(x) + 16 * shift(-h) - shift(-2 * h)) / (12 * h**2)
+
+
+def _setup(n=16):
+    model = psci.arch.MLP(("x", "y"), ("u", "v"), 3, 16)
+    x = np.random.rand(n, 2).astype(np.float32)
+    inp = {"x": jnp.asarray(x[:, 0:1]), "y": jnp.asarray(x[:, 1:2])}
+
+    fwd = jax.jit(lambda d: model(d))
+
+    def f_np(key):
+        def f(xx):
+            out = fwd({"x": jnp.asarray(xx[:, 0:1]), "y": jnp.asarray(xx[:, 1:2])})
+            return np.asarray(out[key])
+
+        return f
+
+    return model, x, inp, f_np
+
+
+def _tape_eval(model, inp, names):
+    """jit a tape evaluation producing the named derivative arrays."""
+
+    @jax.jit
+    def run(inp):
+        with ad.tape_context() as tape:
+            out = expression.forward_with_derivatives([model], inp, tape)
+            results = {}
+            for name in names:
+                key, *path = name.split("__")
+                val = out[key]
+                for coord in path:
+                    val = ad.jacobian(val, out[coord])
+                results[name] = val
+        return results
+
+    return run(inp)
+
+
+def test_jacobian_matches_fd():
+    model, x, inp, f_np = _setup()
+    res = _tape_eval(model, inp, ["u__x", "v__y"])
+    np.testing.assert_allclose(np.asarray(res["u__x"]), _fd(f_np("u"), x, 0), atol=1e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(res["v__y"]), _fd(f_np("v"), x, 1), atol=1e-2, rtol=2e-2)
+
+
+def test_jacobian_multi_input_form():
+    model, x, inp, f_np = _setup(8)
+
+    @jax.jit
+    def run(inp):
+        with ad.tape_context() as tape:
+            out = expression.forward_with_derivatives([model], inp, tape)
+            u_x, u_y = ad.jacobian(out["u"], [out["x"], out["y"]])
+        return u_x, u_y
+
+    u_x, u_y = run(inp)
+    np.testing.assert_allclose(np.asarray(u_x), _fd(f_np("u"), x[:8], 0), atol=1e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(u_y), _fd(f_np("u"), x[:8], 1), atol=1e-2, rtol=2e-2)
+
+
+def test_hessian_matches_fd():
+    model, x, inp, f_np = _setup(8)
+
+    @jax.jit
+    def run(inp):
+        with ad.tape_context() as tape:
+            out = expression.forward_with_derivatives([model], inp, tape)
+            return ad.hessian(out["u"], out["x"]), ad.hessian(out["u"], out["y"])
+
+    u_xx, u_yy = run(inp)
+
+    # cross-check against jax.hessian (forward-over-reverse) — tight tol
+    def pw(xv):
+        return model({"x": xv[0:1], "y": xv[1:2]})["u"][0]
+
+    H = jax.jit(jax.vmap(jax.hessian(pw)))(x[:8])
+    np.testing.assert_allclose(np.asarray(u_xx).flatten(), np.asarray(H[:, 0, 0]), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(u_yy).flatten(), np.asarray(H[:, 1, 1]), atol=1e-4, rtol=1e-4)
+
+
+def test_third_order_by_chaining():
+    model, x, inp, f_np = _setup(8)
+    res = _tape_eval(model, inp, ["u__x__x__y"])
+    u_xxy = res["u__x__x__y"]
+    assert u_xxy.shape == (8, 1)
+    assert np.isfinite(np.asarray(u_xxy)).all()
+
+
+def test_jacobian_caching_same_array():
+    model, x, inp, _ = _setup(4)
+
+    @jax.jit
+    def run(inp):
+        with ad.tape_context() as tape:
+            out = expression.forward_with_derivatives([model], inp, tape)
+            a = ad.jacobian(out["u"], out["x"])
+            b = ad.jacobian(out["u"], out["x"])
+        return a, b
+
+    a, b = run(inp)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_clear_and_errors():
+    with ad.tape_context():
+        ad.clear()  # no-op on fresh tape
+    try:
+        ad.jacobian(jnp.ones((4, 1)), jnp.ones((4, 1)))
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
+
+
+def test_functional_api():
+    f = lambda v: jnp.stack([v[0] ** 2 * v[1], jnp.sin(v[1])])
+    x = jnp.asarray(np.random.rand(5, 2).astype(np.float32))
+    J = ad.jacobian_fn(f)(x)
+    np.testing.assert_allclose(np.asarray(J[:, 0, 0]), np.asarray(2 * x[:, 0] * x[:, 1]), rtol=1e-5)
+    H = ad.hessian_fn(f)(x)
+    np.testing.assert_allclose(np.asarray(H[:, 0, 0, 0]), np.asarray(2 * x[:, 1]), rtol=1e-5)

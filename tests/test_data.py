@@ -1,0 +1,95 @@
+"""Data layer: datasets, loaders, transforms (reference ppsci/data tests)."""
+
+import numpy as np
+import pytest
+
+import paddlescience_tpu as psci
+from paddlescience_tpu import data as data_mod
+
+
+def test_named_array_dataset_loader():
+    ds = data_mod.NamedArrayDataset(
+        {"x": np.arange(20).reshape(20, 1).astype(np.float32)},
+        {"u": np.arange(20).reshape(20, 1).astype(np.float32) * 2},
+    )
+    loader = data_mod.BatchLoader(ds, batch_size=8, shuffle=True, drop_last=True, num_replicas=1, rank=0)
+    it = iter(loader)
+    inp, lab, wgt = next(it)
+    assert inp["x"].shape == (8, 1)
+    np.testing.assert_allclose(lab["u"], inp["x"] * 2)
+
+
+def test_rank_sharding():
+    ds = data_mod.NamedArrayDataset({"x": np.arange(16).reshape(16, 1).astype(np.float32)})
+    got = []
+    for rank in range(2):
+        loader = data_mod.BatchLoader(ds, batch_size=8, shuffle=False, num_replicas=2, rank=rank)
+        inp, _, _ = next(iter(loader))
+        got.append(inp["x"].flatten())
+    all_vals = np.sort(np.concatenate(got))
+    np.testing.assert_allclose(all_vals, np.arange(16))
+
+
+def test_iterable_dataset_full_batch():
+    ds = data_mod.IterableNamedArrayDataset({"x": np.ones((10, 1), np.float32)}, {"u": np.zeros((10, 1), np.float32)})
+    loader = data_mod.BatchLoader(ds)
+    inp, lab, _ = next(iter(loader))
+    assert inp["x"].shape == (10, 1)
+
+
+def test_continuous_dataset():
+    ds = data_mod.ContinuousNamedArrayDataset(
+        lambda: {"x": np.random.rand(4, 1).astype(np.float32)},
+        lambda inp: {"u": inp["x"] * 2},
+    )
+    it = iter(data_mod.BatchLoader(ds))
+    a, la, _ = next(it)
+    b, lb, _ = next(it)
+    assert not np.allclose(a["x"], b["x"])  # fresh batch each step
+    np.testing.assert_allclose(la["u"], a["x"] * 2)
+
+
+def test_transforms():
+    from paddlescience_tpu.data.process.transform import Compose, Normalize, Scale, Translate
+
+    t = Compose([Translate({"x": 1.0}), Scale({"x": 2.0})])
+    inp, lab, wgt = t({"x": np.zeros((3, 1))}, {}, {})
+    np.testing.assert_allclose(inp["x"], 2.0)
+    n = Normalize(mean=1.0, std=2.0, apply_keys=("input",))
+    inp, _, _ = n({"x": np.ones((3, 1)) * 3}, {}, {})
+    np.testing.assert_allclose(inp["x"], 1.0)
+
+
+def test_build_dataset_with_transforms():
+    ds = data_mod.build_dataset(
+        {
+            "name": "NamedArrayDataset",
+            "input": {"x": np.ones((4, 1), np.float32)},
+            "label": {"u": np.ones((4, 1), np.float32)},
+            "transforms": [{"name": "Scale", "scale": {"x": 3.0}}],
+        }
+    )
+    inp, lab, _ = ds[np.array([0, 1])]
+    np.testing.assert_allclose(inp["x"], 3.0)
+
+
+def test_readers(tmp_path):
+    import scipy.io as sio
+
+    from paddlescience_tpu.utils import reader
+
+    # csv
+    p = tmp_path / "d.csv"
+    p.write_text("a,b\n1,2\n3,4\n")
+    out = reader.load_csv_file(str(p), ("a", "b"))
+    np.testing.assert_allclose(out["a"].flatten(), [1, 3])
+    # mat
+    p2 = tmp_path / "d.mat"
+    sio.savemat(str(p2), {"u": np.arange(6).reshape(2, 3)})
+    out = reader.load_mat_file(str(p2), ("u",))
+    assert out["u"].shape == (2, 3)
+    # npz
+    p3 = tmp_path / "d.npz"
+    np.savez(str(p3), v=np.ones(5))
+    out = reader.load_npz_file(str(p3), ("v",))
+    assert out["v"].shape == (5,)

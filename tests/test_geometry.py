@@ -1,0 +1,101 @@
+"""Geometry sampling invariants (reference doctests in ppsci/geometry/*)."""
+
+import numpy as np
+import pytest
+
+import paddlescience_tpu as psci
+
+g = psci.geometry
+
+
+def test_interval():
+    itv = g.Interval(0.0, 2.0)
+    s = itv.sample_interior(32)
+    assert s["x"].shape == (32, 1) and (s["sdf"] >= 0).all()
+    b = itv.sample_boundary(2)
+    np.testing.assert_allclose(sorted(b["x"].flatten()), [0.0, 2.0])
+    np.testing.assert_allclose(np.abs(b["normal_x"]).flatten(), 1.0)
+
+
+def test_rectangle_sdf_derivatives():
+    rect = g.Rectangle((0, 0), (2, 1))
+    s = rect.sample_interior(64, compute_sdf_derivatives=True)
+    assert {"x", "y", "sdf", "sdf__x", "sdf__y"} <= set(s)
+    # interior sdf positive, gradient magnitude <= ~1
+    assert (s["sdf"] > 0).all()
+    gmag = np.sqrt(s["sdf__x"] ** 2 + s["sdf__y"] ** 2)
+    assert (gmag <= 1.2).all()
+
+
+def test_boundary_normals_unit():
+    for geom in [g.Rectangle((0, 0), (1, 1)), g.Disk((0, 0), 1.0), g.Cuboid((0, 0, 0), (1, 1, 1)), g.Sphere((0, 0, 0), 1.0)]:
+        b = geom.sample_boundary(16)
+        n = np.concatenate([b[f"normal_{k}"] for k in geom.dim_keys], axis=1)
+        np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+
+
+def test_csg_union_difference_intersection():
+    r1 = g.Rectangle((0, 0), (1, 1))
+    r2 = g.Rectangle((0.5, 0), (1.5, 1))
+    for dom, pred in [
+        (r1 | r2, lambda p: (p[:, 0] >= 0) & (p[:, 0] <= 1.5)),
+        (r1 - r2, lambda p: p[:, 0] <= 0.5 + 1e-6),
+        (r1 & r2, lambda p: (p[:, 0] >= 0.5 - 1e-6) & (p[:, 0] <= 1.0 + 1e-6)),
+    ]:
+        s = dom.sample_interior(64)
+        pts = np.concatenate([s["x"], s["y"]], 1)
+        assert pred(pts).all()
+
+
+def test_triangle_polygon():
+    tri = g.Triangle((0, 0), (2, 0), (0, 2))
+    s = tri.sample_interior(64)
+    assert (s["x"] + s["y"] <= 2 + 1e-5).all()
+    poly = g.Polygon([(0, 0), (1, 0), (1, 1), (0, 1)])
+    s = poly.sample_interior(32)
+    assert (s["sdf"] >= 0).all()
+    b = poly.sample_boundary(16)
+    on = poly.on_boundary(np.concatenate([b["x"], b["y"]], 1))
+    assert on.all()
+
+
+def test_timedomain_product():
+    tg = g.TimeXGeometry(g.TimeDomain(0, 1, time_step=0.25), g.Interval(0, 1))
+    assert tg.dim_keys == ("t", "x")
+    s = tg.sample_interior(16)
+    assert s["t"].shape == (16, 1)
+    init = tg.sample_initial_interior(8)
+    np.testing.assert_allclose(init["t"], 0.0)
+    b = tg.sample_boundary(8)
+    assert "normal_x" in b and "normal_t" not in b
+
+
+def test_periodic_point():
+    rect = g.Rectangle((0, 0), (1, 1))
+    b = rect.sample_boundary(16)
+    x = {k: b[k] for k in ("x", "y")}
+    y = rect.periodic_point(x, 0)
+    on_edge = np.isclose(x["x"], 0) | np.isclose(x["x"], 1)
+    flipped = np.isclose(y["x"], 1 - x["x"])
+    assert (flipped | ~on_edge).all()
+
+
+def test_pointcloud():
+    pts = {"x": np.random.rand(32, 1).astype(np.float32), "y": np.random.rand(32, 1).astype(np.float32)}
+    pc = g.PointCloud(pts, ("x", "y"))
+    r = pc.random_points(16)
+    assert r.shape == (16, 2)
+
+
+def test_samplers():
+    from paddlescience_tpu.geometry import sampler
+
+    for method in ("pseudo", "LHS", "Halton", "Hammersley", "Sobol"):
+        s = sampler.sample(16, 3, method)
+        assert s.shape == (16, 3) and (s >= 0).all() and (s <= 1).all()
+
+
+def test_impossible_criteria_raises():
+    rect = g.Rectangle((0, 0), (1, 1))
+    with pytest.raises(ValueError):
+        rect.sample_interior(4, criteria=lambda x, y: x > 5)

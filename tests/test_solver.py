@@ -1,0 +1,151 @@
+"""End-to-end Solver tests: train loss decreases, eval/predict/checkpoint
+round-trip (reference acceptance = example convergence, SURVEY.md §4)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+import paddlescience_tpu as psci
+
+
+def _tiny_laplace_solver(tmp_path, epochs=3, iters=2, n_int=256, n_bc=64, **kw):
+    psci.utils.set_random_seed(0)
+    model = psci.arch.MLP(("x", "y"), ("u",), 3, 16)
+    eq = psci.equation.Laplace(dim=2)
+    rect = psci.geometry.Rectangle((0.0, 0.0), (1.0, 1.0))
+
+    def u_star(out):
+        return np.cos(out["x"]) * np.cosh(out["y"])
+
+    cfg = {"dataset": "IterableNamedArrayDataset", "iters_per_epoch": iters}
+    pde = psci.constraint.InteriorConstraint(
+        eq.equations, {"laplace": 0}, rect, {**cfg, "batch_size": n_int}, psci.loss.MSELoss("sum"), name="EQ"
+    )
+    bc = psci.constraint.BoundaryConstraint(
+        {"u": lambda out: out["u"]}, {"u": u_star}, rect, {**cfg, "batch_size": n_bc}, psci.loss.MSELoss("sum"), name="BC"
+    )
+    validator = {
+        "mse": psci.validate.GeometryValidator(
+            {"u": lambda out: out["u"]},
+            {"u": u_star},
+            rect,
+            {"dataset": "IterableNamedArrayDataset", "total_size": 128},
+            psci.loss.MSELoss(),
+            metric={"MSE": psci.metric.MSE()},
+            name="mse",
+        )
+    }
+    return psci.solver.Solver(
+        model,
+        {"EQ": pde, "BC": bc},
+        str(tmp_path),
+        psci.optimizer.Adam(1e-3)(model),
+        epochs=epochs,
+        iters_per_epoch=iters,
+        validator=validator,
+        equation={"laplace": eq},
+        log_freq=100,
+        **kw,
+    )
+
+
+def test_train_decreases_loss(tmp_path):
+    solver = _tiny_laplace_solver(tmp_path, epochs=5, iters=5)
+    step = solver._build_train_step()
+    from paddlescience_tpu.parallel import mesh as mm
+
+    hb = {}
+    for name, cst in solver.constraint.items():
+        inp, lab, wgt = next(cst.data_iter)
+        hb[name] = (mm.shard_batch(inp), mm.shard_batch(lab), mm.shard_batch(wgt))
+    state = solver.state
+    state, logs0 = step(state, hb)
+    for _ in range(30):
+        state, logs = step(state, hb)
+    assert float(logs["loss"]) < float(logs0["loss"])
+
+
+def test_full_train_eval_predict_checkpoint(tmp_path):
+    solver = _tiny_laplace_solver(tmp_path, epochs=2, iters=2)
+    solver.train()
+    metric, groups = solver.eval()
+    assert np.isfinite(metric)
+    assert "MSE.u" in groups["mse"]
+
+    pred = solver.predict(
+        {"x": np.random.rand(50, 1).astype(np.float32), "y": np.random.rand(50, 1).astype(np.float32)},
+        batch_size=16,
+        return_numpy=True,
+    )
+    assert pred["u"].shape == (50, 1)
+
+    # checkpoint round trip
+    ckpt = os.path.join(str(tmp_path), "checkpoints", "latest")
+    assert os.path.exists(ckpt)
+    solver2 = _tiny_laplace_solver(tmp_path, epochs=2, iters=2, checkpoint_path=ckpt)
+    tol = 1e-6
+    a = np.asarray(list(solver.state["params"].values())[0]["weight"] if isinstance(list(solver.state["params"].values())[0], dict) else 0)
+    leaves1 = [np.asarray(x) for x in __import__("jax").tree.leaves(solver.state["params"])]
+    leaves2 = [np.asarray(x) for x in __import__("jax").tree.leaves(solver2.state["params"])]
+    for l1, l2 in zip(leaves1, leaves2):
+        np.testing.assert_allclose(l1, l2, atol=tol)
+
+
+def test_gradnorm_training(tmp_path):
+    from paddlescience_tpu.loss import mtl
+
+    solver = _tiny_laplace_solver(
+        tmp_path, epochs=1, iters=3, loss_aggregator=mtl.GradNorm(None, 2, update_freq=2, momentum=0.5)
+    )
+    solver.train()
+    w = np.asarray(solver.state["agg_state"]["weight"])
+    assert w.shape == (2,)
+    assert not np.allclose(w, 1.0)  # weights moved
+
+
+def test_device_sampled_dataset(tmp_path):
+    """TPU-native path: collocation batch drawn inside the jitted step."""
+    import jax
+    import jax.numpy as jnp
+
+    psci.utils.set_random_seed(0)
+    model = psci.arch.MLP(("x", "y"), ("u",), 2, 8)
+    eq = psci.equation.Laplace(dim=2)
+
+    def sample_fn(key):
+        pts = jax.random.uniform(key, (64, 2))
+        inp = {"x": pts[:, 0:1], "y": pts[:, 1:2]}
+        lab = {"laplace": jnp.zeros((64, 1))}
+        return inp, lab, {}
+
+    from paddlescience_tpu.constraint.base import Constraint
+    from paddlescience_tpu.data import DeviceSampledDataset
+
+    ds = DeviceSampledDataset(sample_fn)
+    cst = Constraint(ds, None, psci.loss.MSELoss(), "EQ_dev")
+    cst.output_expr = eq.equations
+
+    solver = psci.solver.Solver(
+        model,
+        {"EQ_dev": cst},
+        str(tmp_path),
+        psci.optimizer.Adam(1e-3)(model),
+        epochs=1,
+        iters_per_epoch=3,
+        equation={"laplace": eq},
+        log_freq=100,
+    )
+    solver.train()
+    assert int(solver.state["step"]) == 3
+
+
+def test_ema(tmp_path):
+    from paddlescience_tpu.utils.ema import ExponentialMovingAverage
+
+    solver = _tiny_laplace_solver(tmp_path, epochs=1, iters=2, ema_avg=ExponentialMovingAverage(decay=0.9, avg_freq=1))
+    solver.train()
+    assert "avg_params" in solver.state
