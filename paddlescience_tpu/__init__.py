@@ -25,12 +25,15 @@ import jax
 # precision is bf16-ish). Models that want raw MXU bf16 speed opt in per-op.
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent compilation cache: XLA compiles in this environment are slow
-# (~0.4 s per op shape even on CPU); caching amortizes them across runs.
+# Persistent compilation cache: tunneled-TPU compiles are slow (~0.4 s per op
+# shape); caching amortizes them across runs. XLA-internal AOT blobs are
+# excluded ('none') — they embed host-CPU machine features and produce WRONG
+# NUMERICS when the sandbox migrates across heterogeneous hosts (observed).
 if _os.environ.get("PSCI_DISABLE_COMPILE_CACHE", "0") != "1":
     jax.config.update("jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 from paddlescience_tpu import arch  # noqa: E402,F401
 from paddlescience_tpu import autodiff  # noqa: E402,F401

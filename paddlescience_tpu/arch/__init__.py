@@ -4,7 +4,11 @@ import copy
 from typing import Dict
 
 from paddlescience_tpu.arch.base import Arch  # noqa: F401
+from paddlescience_tpu.arch.deeponet import DeepONet  # noqa: F401
+from paddlescience_tpu.arch.fno import FNONet, TFNO1dNet, TFNO2dNet, TFNO3dNet  # noqa: F401
+from paddlescience_tpu.arch.lno import LNO  # noqa: F401
 from paddlescience_tpu.arch.model_list import ModelList  # noqa: F401
+from paddlescience_tpu.arch.spinn import SPINN  # noqa: F401
 from paddlescience_tpu.arch.mlp import (  # noqa: F401
     MLP,
     FourierEmbedding,
@@ -18,6 +22,14 @@ from paddlescience_tpu.arch.mlp import (  # noqa: F401
 
 __all__ = [
     "Arch",
+    "DeepONet",
+    "FNONet",
+    "TFNO1dNet",
+    "TFNO2dNet",
+    "TFNO3dNet",
+    "LNO",
+    "SPINN",
+    "ModelList",
     "MLP",
     "ModifiedMLP",
     "PirateNet",

@@ -364,7 +364,7 @@ class Solver:
                 reader_meter.update(time.perf_counter() - t0)
 
                 self.state, logs = self._train_step(self.state, host_batches)
-                step = int(self.state["step"])
+                step = (epoch - 1) * self.iters_per_epoch + it + 1  # host-side; no device sync
                 if step % self.log_freq == 0 or it == self.iters_per_epoch - 1:
                     logs = jax.device_get(logs)
                     loss_meter.update(float(logs["loss"]))

@@ -1,0 +1,114 @@
+"""Arch zoo forward-shape and semantics tests (reference doctests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import paddlescience_tpu as psci
+
+
+def test_mlp_shapes():
+    model = psci.arch.MLP(("x", "y"), ("u", "v"), 5, 128)
+    out = jax.jit(model)({"x": jnp.ones((64, 1)), "y": jnp.ones((64, 1))})
+    assert out["u"].shape == (64, 1) and out["v"].shape == (64, 1)
+
+
+def test_mlp_fourier_period_rwf():
+    model = psci.arch.MLP(
+        ("t", "x"),
+        ("u",),
+        4,
+        32,
+        periods={"x": (2.0, False)},
+        fourier={"dim": 32, "scale": 1.0},
+        random_weight={"mean": 0.5, "std": 0.1},
+    )
+    out = jax.jit(model)({"t": jnp.ones((8, 1)), "x": jnp.ones((8, 1))})
+    assert out["u"].shape == (8, 1)
+    # period embedding: output must be 2-periodic in x
+    o1 = jax.jit(model)({"t": jnp.zeros((4, 1)), "x": jnp.asarray([[0.1], [0.3], [0.5], [0.7]])})
+    o2 = jax.jit(model)({"t": jnp.zeros((4, 1)), "x": jnp.asarray([[2.1], [2.3], [2.5], [2.7]])})
+    np.testing.assert_allclose(np.asarray(o1["u"]), np.asarray(o2["u"]), atol=1e-5)
+
+
+def test_modified_mlp_and_piratenet():
+    for cls, kw in ((psci.arch.ModifiedMLP, {"num_layers": 3}), (psci.arch.PirateNet, {"num_blocks": 2})):
+        model = cls(("x", "y"), ("u",), hidden_size=16, fourier={"dim": 16, "scale": 1.0}, **kw)
+        out = jax.jit(model)({"x": jnp.ones((8, 1)), "y": jnp.ones((8, 1))})
+        assert out["u"].shape == (8, 1)
+
+
+def test_piratenet_identity_at_init():
+    """alpha=0 at init => blocks are identity (physics init property)."""
+    model = psci.arch.PirateNet(("x",), ("u",), 2, 8, fourier={"dim": 8, "scale": 1.0})
+    x = {"x": jnp.linspace(0, 1, 5).reshape(-1, 1)}
+    emb = model.fourier_emb(x["x"])
+    got = jax.jit(model)(x)["u"]
+    want = model.last_fc(emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_deeponet():
+    model = psci.arch.DeepONet("u", "y", "G", 100, 40, 1, 1, 40, 40)
+    out = jax.jit(model)({"u": jnp.ones((200, 100)), "y": jnp.ones((200, 1))})
+    assert out["G"].shape == (200, 1)
+
+
+def test_fno_1d_2d():
+    m1 = psci.arch.TFNO1dNet(("input",), ("output",), n_modes_height=8, hidden_channels=16, in_channels=2, out_channels=1, n_layers=2, lifting_channels=16, projection_channels=16)
+    out = jax.jit(m1)({"input": jnp.ones((4, 2, 32))})
+    assert out["output"].shape == (4, 1, 32)
+
+    m2 = psci.arch.TFNO2dNet(
+        ("input",), ("output",), n_modes_height=6, n_modes_width=6, hidden_channels=8,
+        in_channels=1, out_channels=3, n_layers=2, lifting_channels=8, projection_channels=8,
+        use_mlp=True, mlp={"expansion": 1.0},
+    )
+    out = jax.jit(m2)({"input": jnp.ones((2, 1, 16, 16))})
+    assert out["output"].shape == (2, 3, 16, 16)
+
+
+def test_fno_spectral_conv_lowpass():
+    """A constant field passes through spectral conv unchanged up to the
+    learned DC-mode weight (all other modes zero)."""
+    from paddlescience_tpu import nn
+    from paddlescience_tpu.arch.fno import SpectralConv
+
+    conv = SpectralConv(1, 1, (4,), rngs=nn.Rngs(0))
+    x = jnp.ones((1, 1, 32))
+    y = jax.jit(conv)(x)
+    assert y.shape == x.shape
+    yv = np.asarray(y)
+    np.testing.assert_allclose(yv, np.full_like(yv, yv.flat[0]), atol=1e-5, rtol=1e-5)  # still constant
+
+
+def test_spinn():
+    model = psci.arch.SPINN(("x", "y", "z"), ("u", "v"), r=8, num_layers=2, hidden_size=16)
+    out = jax.jit(model)({"x": jnp.ones((3, 1)), "y": jnp.ones((4, 1)), "z": jnp.ones((5, 1))})
+    assert out["u"].shape == (3, 4, 5, 1)
+    assert out["v"].shape == (3, 4, 5, 1)
+
+
+def test_lno():
+    T = np.linspace(0, 1, 32).reshape(1, -1)
+    model = psci.arch.LNO(("input",), ("output",), width=8, modes=(4,), T=T, in_features=1, hidden_features=16)
+    out = jax.jit(model)({"input": jnp.ones((2, 32, 1))})
+    assert out["output"].shape == (2, 32, 1)
+
+
+def test_model_list():
+    m1 = psci.arch.MLP(("x",), ("u",), 2, 8)
+    m2 = psci.arch.MLP(("y",), ("v",), 2, 8)
+    ml = psci.arch.ModelList((m1, m2))
+    out = jax.jit(ml)({"x": jnp.ones((4, 1)), "y": jnp.ones((4, 1))})
+    assert set(out) == {"u", "v"}
+    # one parameter tree spanning both models
+    assert set(ml.param_tree()["model_list"].keys()) == {"0", "1"}
+
+
+def test_output_transform():
+    model = psci.arch.MLP(("x",), ("u",), 2, 8)
+    model.register_output_transform(lambda inp, out: {"u": out["u"] * 0 + 7.0})
+    out = jax.jit(model)({"x": jnp.ones((4, 1))})
+    np.testing.assert_allclose(np.asarray(out["u"]), 7.0)
