@@ -5,10 +5,19 @@ from typing import Dict
 
 from paddlescience_tpu.arch.base import Arch  # noqa: F401
 from paddlescience_tpu.arch.deeponet import DeepONet  # noqa: F401
+from paddlescience_tpu.arch.embedding_koopman import (  # noqa: F401
+    CylinderEmbedding,
+    LorenzEmbedding,
+    RosslerEmbedding,
+)
 from paddlescience_tpu.arch.fno import FNONet, TFNO1dNet, TFNO2dNet, TFNO3dNet  # noqa: F401
 from paddlescience_tpu.arch.lno import LNO  # noqa: F401
 from paddlescience_tpu.arch.model_list import ModelList  # noqa: F401
+from paddlescience_tpu.arch.gan import Discriminator, Generator  # noqa: F401
+from paddlescience_tpu.arch.physx_transformer import PhysformerGPT2  # noqa: F401
 from paddlescience_tpu.arch.spinn import SPINN  # noqa: F401
+from paddlescience_tpu.arch.unetex import UNetEx  # noqa: F401
+from paddlescience_tpu.arch.vae import AutoEncoder  # noqa: F401
 from paddlescience_tpu.arch.mlp import (  # noqa: F401
     MLP,
     FourierEmbedding,
@@ -30,6 +39,14 @@ __all__ = [
     "LNO",
     "SPINN",
     "ModelList",
+    "LorenzEmbedding",
+    "RosslerEmbedding",
+    "CylinderEmbedding",
+    "PhysformerGPT2",
+    "UNetEx",
+    "AutoEncoder",
+    "Generator",
+    "Discriminator",
     "MLP",
     "ModifiedMLP",
     "PirateNet",

@@ -3,6 +3,8 @@
 from typing import Dict
 
 from paddlescience_tpu.equation.pde.base import DETACH_FUNC_NAME, PDE  # noqa: F401
+from paddlescience_tpu.equation.ide.volterra import Volterra  # noqa: F401
+from paddlescience_tpu.equation.pde.extra import HeatExchanger, NLSMB  # noqa: F401
 from paddlescience_tpu.equation.pde.basic import (  # noqa: F401
     AllenCahn,
     Biharmonic,
@@ -27,6 +29,9 @@ __all__ = [
     "NormalDotVec",
     "Poisson",
     "Vibration",
+    "NLSMB",
+    "HeatExchanger",
+    "Volterra",
     "build_equation",
 ]
 
