@@ -31,9 +31,11 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="tiny CPU-friendly run")
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch-size", type=int, default=4096)
+    ap.add_argument("--fused", type=int, default=10, help="steps fused per jitted lax.scan call (1 = per-step dispatch)")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from examples.allen_cahn import build_solver
     from paddlescience_tpu.parallel import mesh as mesh_mod
@@ -62,19 +64,40 @@ def main():
             )
 
     state = solver.state
-    # compile + warmup
-    state, logs = step_fn(state, host_batches)
-    jax.block_until_ready(logs["loss"])
-    for _ in range(5):
-        state, logs = step_fn(state, host_batches)
-    jax.block_until_ready(logs["loss"])
+    fused = max(args.fused, 1)
+    if fused > 1:
+        import numpy as np
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
+        scan_fn = solver._build_scanned_train_step(fused)
+        # constant host batches broadcast along the scan axis
+        stacked = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (fused,) + x.shape), host_batches)
+        import jax.numpy as jnp  # noqa: F811
+
+        state, logs = scan_fn(state, stacked)
+        jax.block_until_ready(logs["loss"])  # compile+run
+        state, logs = scan_fn(state, stacked)
+        jax.block_until_ready(logs["loss"])  # warm
+        n_calls = max(steps // fused, 1)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, logs = scan_fn(state, stacked)
+        jax.block_until_ready(logs["loss"])
+        dt = time.perf_counter() - t0
+        steps_per_sec = n_calls * fused / dt
+    else:
+        # compile + warmup
         state, logs = step_fn(state, host_batches)
-    jax.block_until_ready(logs["loss"])
-    dt = time.perf_counter() - t0
-    steps_per_sec = steps / dt
+        jax.block_until_ready(logs["loss"])
+        for _ in range(5):
+            state, logs = step_fn(state, host_batches)
+        jax.block_until_ready(logs["loss"])
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, logs = step_fn(state, host_batches)
+        jax.block_until_ready(logs["loss"])
+        dt = time.perf_counter() - t0
+        steps_per_sec = steps / dt
 
     n_chips = jax.device_count()
     result = {

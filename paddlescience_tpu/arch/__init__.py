@@ -4,6 +4,7 @@ import copy
 from typing import Dict
 
 from paddlescience_tpu.arch.base import Arch  # noqa: F401
+from paddlescience_tpu.arch.afno import AFNONet, PrecipNet  # noqa: F401
 from paddlescience_tpu.arch.deeponet import DeepONet  # noqa: F401
 from paddlescience_tpu.arch.embedding_koopman import (  # noqa: F401
     CylinderEmbedding,
@@ -15,7 +16,15 @@ from paddlescience_tpu.arch.lno import LNO  # noqa: F401
 from paddlescience_tpu.arch.model_list import ModelList  # noqa: F401
 from paddlescience_tpu.arch.gan import Discriminator, Generator  # noqa: F401
 from paddlescience_tpu.arch.physx_transformer import PhysformerGPT2  # noqa: F401
+from paddlescience_tpu.arch.sfnonet import SFNONet, SphericalConv  # noqa: F401
 from paddlescience_tpu.arch.spinn import SPINN  # noqa: F401
+from paddlescience_tpu.arch.misc_nets import (  # noqa: F401
+    ChipDeepONets,
+    Epnn,
+    HEDeepONets,
+    Transformer,
+    USCNN,
+)
 from paddlescience_tpu.arch.unetex import UNetEx  # noqa: F401
 from paddlescience_tpu.arch.vae import AutoEncoder  # noqa: F401
 from paddlescience_tpu.arch.mlp import (  # noqa: F401
@@ -47,6 +56,14 @@ __all__ = [
     "AutoEncoder",
     "Generator",
     "Discriminator",
+    "AFNONet",
+    "PrecipNet",
+    "Epnn",
+    "USCNN",
+    "HEDeepONets",
+    "ChipDeepONets",
+    "Transformer",
+    "SFNONet",
     "MLP",
     "ModifiedMLP",
     "PirateNet",

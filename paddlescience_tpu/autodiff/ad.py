@@ -57,8 +57,11 @@ class _DerivStack:
         self.out_index = out_index  # output key -> output column
         self.extras = extras if extras is not None else {}
         self._orders: Dict[int, jnp.ndarray] = {}
+        self._components: Dict[Tuple[int, ...], jnp.ndarray] = {}
 
     def get(self, order: int) -> jnp.ndarray:
+        """Full k-th order derivative tensor (N, m, d^k) via nested jacfwd.
+        Kept for full-tensor consumers; the hot path uses get_component."""
         if order not in self._orders:
             fn = self.fn
 
@@ -71,8 +74,32 @@ class _DerivStack:
             self._orders[order] = jax.vmap(kth)(self.x, self.extras)
         return self._orders[order]
 
+    def get_component(self, dmulti: Tuple[int, ...]) -> jnp.ndarray:
+        """Directional derivative d^k f / dx_{i1}..dx_{ik} as (N, m), via
+        nested jvp along basis vectors — cost independent of input dim d
+        (a full hessian stack pays d^2 tangents; a PINN residual usually
+        needs only a few components). Mixed partials commute, so the
+        multi-index is sorted for cache hits; XLA CSEs shared primal chains
+        across components.
+        """
+        dmulti = tuple(sorted(dmulti))
+        if dmulti not in self._components:
+            fn = self.fn
+            d = self.x.shape[-1]
+
+            def kth(xvec, extras):
+                g = lambda v: fn(v, extras)
+                for j in dmulti:
+                    tangent = jnp.zeros((d,)).at[j].set(1.0)
+                    g = (lambda g_, t_: lambda v: jax.jvp(g_, (v,), (t_,))[1])(g, tangent)
+                return g(xvec)
+
+            self._components[dmulti] = jax.vmap(kth)(self.x, self.extras)
+        return self._components[dmulti]
+
     def clear(self):
         self._orders.clear()
+        self._components.clear()
 
 
 class _Record:
@@ -130,12 +157,10 @@ class Tape:
 
     # -- derivative extraction --------------------------------------------------
     def derivative(self, rec: _Record, j: int) -> jnp.ndarray:
-        order = len(rec.dmulti) + 1
-        stack_arr = rec.stack.get(order)  # (N, m, d * order)
-        idx = (slice(None), rec.out_col) + rec.dmulti + (j,)
-        out = stack_arr[idx]  # (N,)
-        out = out[:, None]
-        self.register_output(out, rec.stack, rec.out_col, rec.dmulti + (j,))
+        dmulti = rec.dmulti + (j,)
+        comp = rec.stack.get_component(dmulti)  # (N, m)
+        out = comp[:, rec.out_col][:, None]
+        self.register_output(out, rec.stack, rec.out_col, dmulti)
         return out
 
 
@@ -236,11 +261,10 @@ def hessian(
         ci = cj = rec.stack.key_index[name]
     else:
         ci, cj = int(i), int(j)
-    order = len(rec.dmulti) + 2
-    stack_arr = rec.stack.get(order)
-    idx = (slice(None), out_col) + rec.dmulti + (ci, cj)
-    out = stack_arr[idx][:, None]
-    tape.register_output(out, rec.stack, out_col, rec.dmulti + (ci, cj))
+    dmulti = rec.dmulti + (ci, cj)
+    comp = rec.stack.get_component(dmulti)
+    out = comp[:, out_col][:, None]
+    tape.register_output(out, rec.stack, out_col, dmulti)
     return out
 
 

@@ -304,7 +304,27 @@ class Solver:
             logs["lr"] = self.optimizer.lr_fn(step)
             return new_state, logs
 
+        self._raw_step_fn = step_fn
         return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_scanned_train_step(self, num_fused_steps: int):
+        """Fuse K train steps into one jitted lax.scan — amortizes dispatch
+        latency (critical over a tunneled device) and lets XLA pipeline
+        across steps. Host-fed constraints get K pre-staged batches stacked
+        on a leading axis; device-sampled constraints fold their key per
+        scan iteration.
+
+        TPU-native addition; the reference's per-iter Python loop
+        (solver/train.py:68-202) has no analog.
+        """
+        self._build_train_step()  # populates self._raw_step_fn
+        inner = self._raw_step_fn
+
+        def scanned(state, stacked_batches):
+            state, logs = jax.lax.scan(inner, state, stacked_batches, length=num_fused_steps)
+            return state, jax.tree.map(lambda x: x[-1], logs)
+
+        return jax.jit(scanned, donate_argnums=(0,))
 
     def _build_lbfgs_step(self):
         """L-BFGS with zoom line search — value_and_grad threaded through opt
