@@ -5,6 +5,7 @@ from typing import Dict
 
 from paddlescience_tpu.arch.base import Arch  # noqa: F401
 from paddlescience_tpu.arch.afno import AFNONet, PrecipNet  # noqa: F401
+from paddlescience_tpu.arch.cvit import CVit, CVit1D  # noqa: F401
 from paddlescience_tpu.arch.deeponet import DeepONet  # noqa: F401
 from paddlescience_tpu.arch.embedding_koopman import (  # noqa: F401
     CylinderEmbedding,
@@ -15,6 +16,8 @@ from paddlescience_tpu.arch.fno import FNONet, TFNO1dNet, TFNO2dNet, TFNO3dNet  
 from paddlescience_tpu.arch.lno import LNO  # noqa: F401
 from paddlescience_tpu.arch.model_list import ModelList  # noqa: F401
 from paddlescience_tpu.arch.gan import Discriminator, Generator  # noqa: F401
+from paddlescience_tpu.arch.phycrnet import PhyCRNet  # noqa: F401
+from paddlescience_tpu.arch.phylstm import DeepPhyLSTM  # noqa: F401
 from paddlescience_tpu.arch.physx_transformer import PhysformerGPT2  # noqa: F401
 from paddlescience_tpu.arch.sfnonet import SFNONet, SphericalConv  # noqa: F401
 from paddlescience_tpu.arch.spinn import SPINN  # noqa: F401
@@ -26,6 +29,7 @@ from paddlescience_tpu.arch.misc_nets import (  # noqa: F401
     USCNN,
 )
 from paddlescience_tpu.arch.unetex import UNetEx  # noqa: F401
+from paddlescience_tpu.arch.unonet import UNONet  # noqa: F401
 from paddlescience_tpu.arch.vae import AutoEncoder  # noqa: F401
 from paddlescience_tpu.arch.mlp import (  # noqa: F401
     MLP,
@@ -64,6 +68,11 @@ __all__ = [
     "ChipDeepONets",
     "Transformer",
     "SFNONet",
+    "CVit",
+    "CVit1D",
+    "PhyCRNet",
+    "DeepPhyLSTM",
+    "UNONet",
     "MLP",
     "ModifiedMLP",
     "PirateNet",
