@@ -21,9 +21,13 @@ import os as _os
 
 import jax
 
-# PINN residual accuracy on TPU needs true-f32 matmuls (default TPU matmul
-# precision is bf16-ish). Models that want raw MXU bf16 speed opt in per-op.
-jax.config.update("jax_default_matmul_precision", "highest")
+# PINN residual accuracy on TPU needs f32-class matmuls (TPU MXU natively
+# computes bf16 passes). "highest" = 6-pass (full f32), "high" = 3-pass
+# (~f32 for unit-scale data, 2x faster), "default" = 1 bf16 pass.
+# Override with PSCI_MATMUL_PRECISION=default|high|highest.
+jax.config.update(
+    "jax_default_matmul_precision", _os.environ.get("PSCI_MATMUL_PRECISION", "highest")
+)
 
 # Persistent compilation cache: tunneled-TPU compiles are slow (~0.4 s per op
 # shape); caching amortizes them across runs. XLA-internal AOT blobs are
