@@ -8,6 +8,7 @@ from paddlescience_tpu.geometry.geometry_1d import Interval  # noqa: F401
 from paddlescience_tpu.geometry.geometry_2d import Disk, Polygon, Rectangle, Triangle  # noqa: F401
 from paddlescience_tpu.geometry.geometry_3d import Cuboid, Sphere  # noqa: F401
 from paddlescience_tpu.geometry.geometry_nd import Hypercube, Hypersphere  # noqa: F401
+from paddlescience_tpu.geometry.mesh import Mesh, SDFMesh  # noqa: F401
 from paddlescience_tpu.geometry.pointcloud import PointCloud  # noqa: F401
 from paddlescience_tpu.geometry.timedomain import TimeDomain, TimeXGeometry  # noqa: F401
 
@@ -26,6 +27,8 @@ __all__ = [
     "CSGDifference",
     "CSGIntersection",
     "PointCloud",
+    "Mesh",
+    "SDFMesh",
     "TimeDomain",
     "TimeXGeometry",
     "build_geometry",

@@ -99,3 +99,24 @@ def test_impossible_criteria_raises():
     rect = g.Rectangle((0, 0), (1, 1))
     with pytest.raises(ValueError):
         rect.sample_interior(4, criteria=lambda x, y: x > 5)
+
+
+def test_mesh_cube():
+    v = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0], [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.float32
+    )
+    f = np.array(
+        [[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7], [0, 1, 5], [0, 5, 4], [1, 2, 6], [1, 6, 5],
+         [2, 3, 7], [2, 7, 6], [3, 0, 4], [3, 4, 7]]
+    )
+    mesh = g.Mesh((v, f))
+    np.testing.assert_allclose(mesh.area, 6.0, rtol=1e-6)
+    assert list(mesh.is_inside(np.array([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5]]))) == [True, False]
+    s = mesh.sample_interior(64)
+    assert (s["sdf"] >= 0).all()
+    b = mesh.sample_boundary(32)
+    assert "area" in b
+    n = np.concatenate([b[f"normal_{k}"] for k in "xyz"], 1)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+    sdf = mesh.sdf_func(np.array([[0.5, 0.5, 0.5], [2.0, 0.5, 0.5]]))
+    np.testing.assert_allclose(sdf.flatten(), [-0.5, 1.0], atol=1e-6)
