@@ -16,6 +16,13 @@ from paddlescience_tpu.arch.fno import FNONet, TFNO1dNet, TFNO2dNet, TFNO3dNet  
 from paddlescience_tpu.arch.lno import LNO  # noqa: F401
 from paddlescience_tpu.arch.model_list import ModelList  # noqa: F401
 from paddlescience_tpu.arch.gan import Discriminator, Generator  # noqa: F401
+from paddlescience_tpu.arch.graph_nets import (  # noqa: F401
+    AMGNet,
+    CrystalGraphConvNet,
+    GraphCastNet,
+    MeshGraphNet,
+    TGCN,
+)
 from paddlescience_tpu.arch.phycrnet import PhyCRNet  # noqa: F401
 from paddlescience_tpu.arch.phylstm import DeepPhyLSTM  # noqa: F401
 from paddlescience_tpu.arch.physx_transformer import PhysformerGPT2  # noqa: F401
@@ -73,6 +80,11 @@ __all__ = [
     "PhyCRNet",
     "DeepPhyLSTM",
     "UNONet",
+    "CrystalGraphConvNet",
+    "TGCN",
+    "MeshGraphNet",
+    "AMGNet",
+    "GraphCastNet",
     "MLP",
     "ModifiedMLP",
     "PirateNet",
