@@ -5,6 +5,7 @@ from typing import Dict
 
 from paddlescience_tpu.arch.base import Arch  # noqa: F401
 from paddlescience_tpu.arch.afno import AFNONet, PrecipNet  # noqa: F401
+from paddlescience_tpu.arch.cuboid_transformer import CuboidTransformer  # noqa: F401
 from paddlescience_tpu.arch.cvit import CVit, CVit1D  # noqa: F401
 from paddlescience_tpu.arch.deeponet import DeepONet  # noqa: F401
 from paddlescience_tpu.arch.embedding_koopman import (  # noqa: F401
@@ -15,6 +16,8 @@ from paddlescience_tpu.arch.embedding_koopman import (  # noqa: F401
 from paddlescience_tpu.arch.fno import FNONet, TFNO1dNet, TFNO2dNet, TFNO3dNet  # noqa: F401
 from paddlescience_tpu.arch.lno import LNO  # noqa: F401
 from paddlescience_tpu.arch.model_list import ModelList  # noqa: F401
+from paddlescience_tpu.arch.moflow_net import MoFlowNet, MoFlowProp  # noqa: F401
+from paddlescience_tpu.arch.nowcasting import DGMR, NowcastNet  # noqa: F401
 from paddlescience_tpu.arch.gan import Discriminator, Generator  # noqa: F401
 from paddlescience_tpu.arch.graph_nets import (  # noqa: F401
     AMGNet,
@@ -85,6 +88,11 @@ __all__ = [
     "MeshGraphNet",
     "AMGNet",
     "GraphCastNet",
+    "CuboidTransformer",
+    "NowcastNet",
+    "DGMR",
+    "MoFlowNet",
+    "MoFlowProp",
     "MLP",
     "ModifiedMLP",
     "PirateNet",
