@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="tiny CPU-friendly run")
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch-size", type=int, default=4096)
-    ap.add_argument("--fused", type=int, default=10, help="steps fused per jitted lax.scan call (1 = per-step dispatch)")
+    ap.add_argument("--fused", type=int, default=20, help="steps fused per jitted lax.scan call (1 = per-step dispatch)")
     args = ap.parse_args()
 
     import jax
