@@ -102,6 +102,46 @@ class _DerivStack:
         self._components.clear()
 
 
+class _GridStack:
+    """Derivative stacks for separable/product-grid models (SPINN-style):
+    output u[i,j,k,:] depends only on coords x[i], y[j], z[k], so the
+    derivative along one axis equals a jvp with an all-ones tangent on that
+    coordinate vector (cross terms vanish by separability). Cost: one nested
+    jvp per component — the SPINN O(N·d) property is preserved.
+    """
+
+    def __init__(self, fn: Callable, coords: Dict[str, jnp.ndarray], key_index: Dict[str, int], out_index: Dict[str, int]):
+        self.fn = fn  # fn(*coord_arrays) -> (..., m)
+        self.coord_keys = list(coords.keys())
+        self.coords = [coords[k] for k in self.coord_keys]
+        self.key_index = key_index
+        self.out_index = out_index
+        self._components: Dict[Tuple[int, ...], jnp.ndarray] = {}
+
+    def get_component(self, dmulti: Tuple[int, ...]) -> jnp.ndarray:
+        dmulti = tuple(sorted(dmulti))
+        if dmulti not in self._components:
+            fn = self.fn
+            g = lambda *cs: fn(*cs)
+            for j in dmulti:
+                def wrap(g_, j_):
+                    def h(*cs):
+                        tangents = tuple(
+                            jnp.ones_like(c) if idx == j_ else jnp.zeros_like(c)
+                            for idx, c in enumerate(cs)
+                        )
+                        return jax.jvp(g_, cs, tangents)[1]
+
+                    return h
+
+                g = wrap(g, j)
+            self._components[dmulti] = g(*self.coords)
+        return self._components[dmulti]
+
+    def clear(self):
+        self._components.clear()
+
+
 class _Record:
     """Provenance of one array: which stack, output column, and which
     coordinate axes it has already been differentiated along."""
@@ -155,11 +195,16 @@ class Tape:
             stack.clear()
         self._records.clear()
 
+    def add_grid_stack(self, fn: Callable, coords: Dict[str, jnp.ndarray], key_index: Dict[str, int], out_index: Dict[str, int]) -> "_GridStack":
+        stack = _GridStack(fn, coords, key_index, out_index)
+        self._stacks.append(stack)
+        return stack
+
     # -- derivative extraction --------------------------------------------------
     def derivative(self, rec: _Record, j: int) -> jnp.ndarray:
         dmulti = rec.dmulti + (j,)
-        comp = rec.stack.get_component(dmulti)  # (N, m)
-        out = comp[:, rec.out_col][:, None]
+        comp = rec.stack.get_component(dmulti)  # (..., m)
+        out = comp[..., rec.out_col][..., None]
         self.register_output(out, rec.stack, rec.out_col, dmulti)
         return out
 
@@ -263,7 +308,7 @@ def hessian(
         ci, cj = int(i), int(j)
     dmulti = rec.dmulti + (ci, cj)
     comp = rec.stack.get_component(dmulti)
-    out = comp[:, out_col][:, None]
+    out = comp[..., out_col][..., None]
     tape.register_output(out, rec.stack, out_col, dmulti)
     return out
 

@@ -46,6 +46,31 @@ def forward_with_derivatives(
         feed = {k: input_dict[k] for k in in_keys}
         batched_out = model(feed)
 
+        # separable/product-grid models (SPINN): per-axis coordinate vectors
+        # of different lengths produce grid-shaped outputs -> grid stack
+        batch_sizes = {input_dict[k].shape[0] for k in in_keys}
+        is_grid = any(v.ndim > 2 for v in batched_out.values()) or len(batch_sizes) > 1
+        if is_grid:
+            grid_keys = [k for k in in_keys if input_dict[k].ndim == 2 and input_dict[k].shape[-1] == 1]
+            out_keys = tuple(model.output_keys)
+            out_index, ofs = {}, 0
+            for k in out_keys:
+                out_index[k] = ofs
+                ofs += int(batched_out[k].shape[-1])
+
+            def grid_fn(*coord_arrays, _model=model, _gk=tuple(grid_keys), _ok=out_keys):
+                feed_g = {k: c for k, c in zip(_gk, coord_arrays)}
+                o = _model(feed_g)
+                return jnp.concatenate([o[k] for k in _ok], axis=-1)
+
+            key_index = {k: i for i, k in enumerate(grid_keys)}
+            stack = tape.add_grid_stack(grid_fn, {k: input_dict[k] for k in grid_keys}, key_index, out_index)
+            for k in out_keys:
+                arr = batched_out[k]
+                tape.register_output(arr, stack, out_index[k])
+                out[k] = arr
+            continue
+
         # differentiable coordinates: single-column inputs; everything else
         # (function samples, grids, ...) rides along as per-point extras
         diff_keys = [k for k in in_keys if input_dict[k].ndim == 2 and input_dict[k].shape[-1] == 1]
