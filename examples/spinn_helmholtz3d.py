@@ -27,6 +27,18 @@ def build_solver(epochs=50, iters_per_epoch=100, n_axis=32, output_dir="./output
     psci.utils.set_random_seed(42)
     model = psci.arch.SPINN(("x", "y", "z"), ("u",), r=32, num_layers=4, hidden_size=32)
 
+    # hard Dirichlet BC: multiply by sin(pi x)sin(pi y)sin(pi z), which
+    # vanishes on the cube boundary (u* does too since a_i are integers)
+    def hard_bc(inp, out):
+        env = (
+            jnp.sin(jnp.pi * inp["x"][:, None, None, :])
+            * jnp.sin(jnp.pi * inp["y"][None, :, None, :])
+            * jnp.sin(jnp.pi * inp["z"][None, None, :, :])
+        )
+        return {"u": out["u"] * env}
+
+    model.register_output_transform(hard_bc)
+
     lam = K**2 - ((A1 * np.pi) ** 2 + (A2 * np.pi) ** 2 + (A3 * np.pi) ** 2)
 
     def u_star(x, y, z):
@@ -48,24 +60,6 @@ def build_solver(epochs=50, iters_per_epoch=100, n_axis=32, output_dir="./output
 
     pde = Constraint(DeviceSampledDataset(sample_fn), None, psci.loss.MSELoss("mean"), "EQ")
     pde.output_expr = {"helmholtz": helmholtz}
-
-    # Dirichlet boundary: enforce by hard constraint via output transform
-    # (u = x(1-x)y(1-y)z(1-z)-envelope would change the solution; instead use
-    # boundary loss over product grids with one axis pinned to {0,1})
-    def bc_sample_fn(key):
-        ks = jax.random.split(key, 3)
-        coords = {k: jax.random.uniform(ks[i], (n_axis, 1)) for i, k in enumerate("xyz")}
-        # pin 4 of the x-axis points to the boundary planes 0/1 per axis:
-        coords["x"] = coords["x"].at[0, 0].set(0.0).at[1, 0].set(1.0)
-        coords["y"] = coords["y"].at[0, 0].set(0.0).at[1, 0].set(1.0)
-        coords["z"] = coords["z"].at[0, 0].set(0.0).at[1, 0].set(1.0)
-        u_ref = u_star(coords["x"][:, 0], coords["y"][:, 0], coords["z"][:, 0])[..., None]
-        mask = jnp.zeros((n_axis, n_axis, n_axis, 1)).at[:2].set(1.0)
-        mask = mask.at[:, :2].set(1.0).at[:, :, :2].set(1.0)
-        return coords, {"u": u_ref * mask}, {"u": mask}
-
-    bc = Constraint(DeviceSampledDataset(bc_sample_fn), None, psci.loss.MSELoss("mean"), "BC")
-    bc.output_expr = {"u": lambda out: out["u"]}
 
     lr = psci.optimizer.lr_scheduler.ExponentialDecay(
         epochs=epochs, iters_per_epoch=iters_per_epoch, learning_rate=1e-3, gamma=0.9, decay_steps=1000
@@ -93,7 +87,7 @@ def build_solver(epochs=50, iters_per_epoch=100, n_axis=32, output_dir="./output
 
     return psci.solver.Solver(
         model,
-        {"EQ": pde, "BC": bc},
+        {"EQ": pde},
         output_dir,
         optimizer,
         epochs=epochs,

@@ -31,6 +31,12 @@ from paddlescience_tpu.data.dataset.file_dataset import (  # noqa: F401
     MatDataset,
     NPZDataset,
 )
+from paddlescience_tpu.data.dataset.science_dataset import (  # noqa: F401
+    DarcyFlowDataset,
+    ERA5Dataset,
+    VtuDataset,
+    generate_darcy_dataset,
+)
 from paddlescience_tpu.data.process.transform import Compose, build_transforms  # noqa: F401
 
 __all__ = [
@@ -47,6 +53,9 @@ __all__ = [
     "IterableCSVDataset",
     "NPZDataset",
     "IterableNPZDataset",
+    "ERA5Dataset",
+    "DarcyFlowDataset",
+    "VtuDataset",
 ]
 
 _DATASETS = {
@@ -60,6 +69,9 @@ _DATASETS = {
     "IterableCSVDataset": IterableCSVDataset,
     "NPZDataset": NPZDataset,
     "IterableNPZDataset": IterableNPZDataset,
+    "ERA5Dataset": ERA5Dataset,
+    "DarcyFlowDataset": DarcyFlowDataset,
+    "VtuDataset": VtuDataset,
 }
 
 
