@@ -19,6 +19,7 @@ from paddlescience_tpu.arch.model_list import ModelList  # noqa: F401
 from paddlescience_tpu.arch.moflow_net import MoFlowNet, MoFlowProp  # noqa: F401
 from paddlescience_tpu.arch.nowcasting import DGMR, NowcastNet  # noqa: F401
 from paddlescience_tpu.arch.gan import Discriminator, Generator  # noqa: F401
+from paddlescience_tpu.arch.geofno import FNO1d, VelocityDiscriminator, VelocityGenerator  # noqa: F401
 from paddlescience_tpu.arch.graph_nets import (  # noqa: F401
     AMGNet,
     CrystalGraphConvNet,
@@ -93,6 +94,9 @@ __all__ = [
     "DGMR",
     "MoFlowNet",
     "MoFlowProp",
+    "FNO1d",
+    "VelocityGenerator",
+    "VelocityDiscriminator",
     "MLP",
     "ModifiedMLP",
     "PirateNet",

@@ -125,3 +125,33 @@ def test_fractional_diff():
     got = fractional_diff(lambda s: s, 0.5, 0.0, t)
     want = 2 * np.sqrt(np.asarray(t) / np.pi)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2)
+
+
+def test_fractional_poisson_discretization_converges():
+    np.random.seed(0)
+    import paddlescience_tpu as psci
+
+    disk = psci.geometry.Disk((0, 0), 1.0)
+    pts = disk.random_points(10) * 0.6
+
+    def residual_norm(n_theta, n_r):
+        fp = psci.equation.FractionalPoisson(alpha=1.5, geom=disk, resolution=(n_theta, n_r))
+        ext = fp.precompute(pts)
+        u = np.maximum(1 - np.sum(ext**2, axis=1), 0) ** (1 + 0.75)
+        out = {"x": jnp.asarray(ext[:, :1]), "y": jnp.asarray(ext[:, 1:2]), "u": jnp.asarray(u[:, None])}
+        return float(jnp.abs(fp.equations["fpde"](out)).mean())
+
+    coarse = residual_norm(8, 20)
+    fine = residual_norm(24, 80)
+    assert fine < coarse  # GL discretization refines toward the exact solution
+
+
+def test_fno1d_velocitygan_shapes():
+    import paddlescience_tpu as psci
+
+    m = psci.arch.FNO1d(modes=8, width=8, padding=10, input_channel=2, output_np=50)
+    out = jax.jit(m)({"input": jnp.ones((2, 50, 2))})
+    assert out["output"].shape == (2, 1)
+    vg = psci.arch.VelocityGenerator(("s",), ("v",), in_channels=3, out_size=(32, 32), dim=4)
+    out = jax.jit(vg)({"s": jnp.ones((1, 3, 32, 8))})
+    assert out["v"].shape == (1, 1, 32, 32)
