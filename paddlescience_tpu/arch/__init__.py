@@ -5,7 +5,7 @@ from typing import Dict
 
 from paddlescience_tpu.arch.base import Arch  # noqa: F401
 from paddlescience_tpu.arch.afno import AFNONet, PrecipNet  # noqa: F401
-from paddlescience_tpu.arch.cuboid_transformer import CuboidTransformer  # noqa: F401
+from paddlescience_tpu.arch.cuboid_transformer import CuboidTransformer, ExtFormerMoECuboid  # noqa: F401
 from paddlescience_tpu.arch.cvit import CVit, CVit1D  # noqa: F401
 from paddlescience_tpu.arch.deeponet import DeepONet  # noqa: F401
 from paddlescience_tpu.arch.embedding_koopman import (  # noqa: F401
@@ -90,6 +90,7 @@ __all__ = [
     "AMGNet",
     "GraphCastNet",
     "CuboidTransformer",
+    "ExtFormerMoECuboid",
     "NowcastNet",
     "DGMR",
     "MoFlowNet",

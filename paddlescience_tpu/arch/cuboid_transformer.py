@@ -26,7 +26,7 @@ from paddlescience_tpu.nn.core import Module, Param, Rngs
 from paddlescience_tpu.nn.layers import Conv, LayerNorm, Linear
 from paddlescience_tpu.utils import initializer
 
-__all__ = ["CuboidTransformer", "CuboidSelfAttention"]
+__all__ = ["CuboidTransformer", "CuboidSelfAttention", "ExtFormerMoECuboid"]
 
 
 def _partition_cuboids(x, cuboid):
@@ -76,17 +76,68 @@ class CuboidSelfAttention(Module):
 
 
 class _CuboidBlock(Module):
-    def __init__(self, dim, num_heads, cuboid_size, shift, mlp_ratio, *, rngs: Rngs):
+    def __init__(self, dim, num_heads, cuboid_size, shift, mlp_ratio, num_experts=0, *, rngs: Rngs):
         self.ln1 = LayerNorm(dim)
         self.attn = CuboidSelfAttention(dim, num_heads, cuboid_size, shift, rngs=rngs)
         self.ln2 = LayerNorm(dim)
-        self.fc1 = Linear(dim, int(dim * mlp_ratio), rngs=rngs)
-        self.fc2 = Linear(int(dim * mlp_ratio), dim, rngs=rngs)
+        self.use_moe = num_experts > 0
+        if self.use_moe:
+            self.moe = _MoEFFN(dim, int(dim * mlp_ratio), num_experts, rngs=rngs)
+        else:
+            self.fc1 = Linear(dim, int(dim * mlp_ratio), rngs=rngs)
+            self.fc2 = Linear(int(dim * mlp_ratio), dim, rngs=rngs)
 
     def __call__(self, x):
         x = x + self.attn(self.ln1(x))
+        if self.use_moe:
+            return x + self.moe(self.ln2(x))
         x = x + self.fc2(jax.nn.gelu(self.fc1(self.ln2(x))))
         return x
+
+
+class _MoEFFN(Module):
+    """Dense token-choice mixture-of-experts FFN (reference
+    extformer_moe_cuboid*.py — the reference's MoE is also single-device
+    dense routing, SURVEY §2.3). Top-1 gating with a load-balancing-friendly
+    softmax; all experts computed densely and gathered by gate weight —
+    compiler-friendly (no dynamic shapes), fine for expert counts <= 8."""
+
+    def __init__(self, dim, hidden, num_experts, *, rngs: Rngs):
+        self.gate = Linear(dim, num_experts, rngs=rngs)
+        self.experts_in = [Linear(dim, hidden, rngs=rngs) for _ in range(num_experts)]
+        self.experts_out = [Linear(hidden, dim, rngs=rngs) for _ in range(num_experts)]
+        self.num_experts = num_experts
+
+    def __call__(self, x):
+        gates = jax.nn.softmax(self.gate(x), axis=-1)  # (..., E)
+        outs = jnp.stack(
+            [self.experts_out[e](jax.nn.gelu(self.experts_in[e](x))) for e in range(self.num_experts)],
+            axis=-1,
+        )  # (..., C, E)
+        return jnp.einsum("...ce,...e->...c", outs, gates)
+
+
+class ExtFormerMoECuboid(base.Arch):
+    """Cuboid transformer with MoE FFN blocks (reference
+    ppsci/arch/extformer_moe_cuboid.py; dense single-device routing like the
+    reference, SURVEY §2.3). Same I/O contract as CuboidTransformer."""
+
+    def __init__(self, input_keys, output_keys, input_shape, target_shape, base_units=64,
+                 num_heads=4, enc_depth=(2,), dec_depth=(2,), cuboid_size=(2, 4, 4),
+                 mlp_ratio=4.0, num_experts=4, *, rngs: Optional[Rngs] = None, **kwargs):
+        super().__init__()
+        if rngs is None:
+            rngs = Rngs(0)
+        self.inner = CuboidTransformer(
+            input_keys, output_keys, input_shape, target_shape, base_units, num_heads,
+            enc_depth, dec_depth, cuboid_size, mlp_ratio,
+            num_experts=num_experts, rngs=rngs,
+        )
+        self.input_keys = self.inner.input_keys
+        self.output_keys = self.inner.output_keys
+
+    def __call__(self, x):
+        return self.inner(x)
 
 
 class CuboidTransformer(base.Arch):
@@ -110,6 +161,7 @@ class CuboidTransformer(base.Arch):
         mlp_ratio: float = 4.0,
         downsample: int = 2,
         remat: bool = False,
+        num_experts: int = 0,
         *,
         rngs: Optional[Rngs] = None,
         **kwargs,
@@ -130,14 +182,14 @@ class CuboidTransformer(base.Arch):
         enc_blocks = []
         for depth in enc_depth:
             for d in range(depth):
-                enc_blocks.append(_CuboidBlock(dim, num_heads, cuboid_size, (d % 2 == 1), mlp_ratio, rngs=rngs))
+                enc_blocks.append(_CuboidBlock(dim, num_heads, cuboid_size, (d % 2 == 1), mlp_ratio, num_experts, rngs=rngs))
         self.enc_blocks = enc_blocks  # assign complete list: registers children
         # temporal projection to target length
         self.time_proj = Linear(T_in, T_out, rngs=rngs)
         dec_blocks = []
         for depth in dec_depth:
             for d in range(depth):
-                dec_blocks.append(_CuboidBlock(dim, num_heads, cuboid_size, (d % 2 == 1), mlp_ratio, rngs=rngs))
+                dec_blocks.append(_CuboidBlock(dim, num_heads, cuboid_size, (d % 2 == 1), mlp_ratio, num_experts, rngs=rngs))
         self.dec_blocks = dec_blocks
         self.head = Linear(dim, C_out, rngs=rngs)
 
