@@ -155,3 +155,12 @@ def test_fno1d_velocitygan_shapes():
     vg = psci.arch.VelocityGenerator(("s",), ("v",), in_channels=3, out_size=(32, 32), dim=4)
     out = jax.jit(vg)({"s": jnp.ones((1, 3, 32, 8))})
     assert out["v"].shape == (1, 1, 32, 32)
+
+
+def test_lbm_cavity():
+    from paddlescience_tpu.ops import lbm
+
+    rho, ux, uy = lbm.run_cavity(nx=32, ny=32, re=100, steps=100)
+    assert np.isfinite(np.asarray(ux)).all()
+    # lid drives positive ux near the top
+    assert float(ux[-2].mean()) > 0.01
