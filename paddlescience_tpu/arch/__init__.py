@@ -22,6 +22,7 @@ from paddlescience_tpu.arch.gan import Discriminator, Generator  # noqa: F401
 from paddlescience_tpu.arch.geofno import FNO1d, VelocityDiscriminator, VelocityGenerator  # noqa: F401
 from paddlescience_tpu.arch.graph_nets import (  # noqa: F401
     AMGNet,
+    CFDGCN,
     CrystalGraphConvNet,
     GraphCastNet,
     MeshGraphNet,
@@ -88,6 +89,7 @@ __all__ = [
     "TGCN",
     "MeshGraphNet",
     "AMGNet",
+    "CFDGCN",
     "GraphCastNet",
     "CuboidTransformer",
     "ExtFormerMoECuboid",

@@ -26,7 +26,7 @@ from paddlescience_tpu.arch import base
 from paddlescience_tpu.nn.core import Module, Param, Rngs
 from paddlescience_tpu.nn.layers import LayerNorm, Linear
 
-__all__ = ["CrystalGraphConvNet", "TGCN", "MeshGraphNet", "AMGNet", "GraphCastNet"]
+__all__ = ["CrystalGraphConvNet", "TGCN", "MeshGraphNet", "AMGNet", "GraphCastNet", "CFDGCN"]
 
 
 class _CGConvLayer(Module):
@@ -231,3 +231,45 @@ class GraphCastNet(MeshGraphNet):
     from data files and runs encode-process-decode. Feed the combined graph
     through the MeshGraphNet contract: node/edge features + connectivity
     from those same template files."""
+
+
+class CFDGCN(base.Arch):
+    """CFD-informed GCN (reference ppsci/arch/cfdgcn.py): a coarse CFD
+    solution (reference: SU2 in the training loop) is upsampled and
+    concatenated with node features before GCN message passing.
+
+    SU2 is not available in this environment; pass ``cfd_solver`` as any
+    callable (coarse_x) -> coarse fields, or feed precomputed coarse
+    solutions as part of the node features (the no-solver path below).
+    """
+
+    def __init__(
+        self,
+        input_keys: Tuple[str, ...],
+        output_keys: Tuple[str, ...],
+        node_in_dim: int,
+        edge_in_dim: int,
+        out_dim: int,
+        hidden: int = 128,
+        n_layers: int = 6,
+        cfd_solver=None,
+        *,
+        rngs: Optional[Rngs] = None,
+    ):
+        super().__init__()
+        if rngs is None:
+            rngs = Rngs(0)
+        self.input_keys = tuple(input_keys)
+        self.output_keys = tuple(output_keys)
+        self.cfd_solver = cfd_solver
+        self.gnn = MeshGraphNet(
+            ("graph",), ("pred",), node_in_dim, edge_in_dim, out_dim, hidden, n_layers, rngs=rngs
+        )
+
+    def __call__(self, x: Dict) -> Dict[str, jnp.ndarray]:
+        node_feats, edge_feats, senders, receivers = x[self.input_keys[0]]
+        if self.cfd_solver is not None:
+            coarse = self.cfd_solver(node_feats)
+            node_feats = jnp.concatenate([node_feats, coarse], axis=-1)
+        out = self.gnn({"graph": (node_feats, edge_feats, senders, receivers)})
+        return {self.output_keys[0]: out["pred"]}
