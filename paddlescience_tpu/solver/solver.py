@@ -33,7 +33,7 @@ from paddlescience_tpu.arch.model_list import ModelList
 from paddlescience_tpu.autodiff import ad
 from paddlescience_tpu.loss import mtl
 from paddlescience_tpu.parallel import mesh as mesh_mod
-from paddlescience_tpu.utils import expression, logger, misc, save_load
+from paddlescience_tpu.utils import expression, logger, misc, profiler, save_load
 from paddlescience_tpu.utils import symbolic as symbolic_mod
 
 __all__ = ["Solver"]
@@ -401,8 +401,10 @@ class Solver:
                         host_batches[name] = (put(inp), put(lab), put(wgt))
                 reader_meter.update(time.perf_counter() - t0)
 
+                profiler.maybe_start((epoch - 1) * self.iters_per_epoch + it)
                 self.state, logs = self._train_step(self.state, host_batches)
                 step = (epoch - 1) * self.iters_per_epoch + it + 1  # host-side; no device sync
+                profiler.maybe_stop(step)
                 if step % self.log_freq == 0 or it == self.iters_per_epoch - 1:
                     logs = jax.device_get(logs)
                     loss_meter.update(float(logs["loss"]))
