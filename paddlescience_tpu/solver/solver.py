@@ -366,7 +366,8 @@ class Solver:
             )
             return new_state, {"loss": value, "lr": jnp.asarray(0.0)}
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        # no buffer donation: optax.lbfgs aliases params inside its state
+        return jax.jit(step_fn)
 
     # ------------------------------------------------------------------- train --
     def train(self, num_fused_steps: Optional[int] = None) -> None:

@@ -149,3 +149,19 @@ def test_ema(tmp_path):
     solver = _tiny_laplace_solver(tmp_path, epochs=1, iters=2, ema_avg=ExponentialMovingAverage(decay=0.9, avg_freq=1))
     solver.train()
     assert "avg_params" in solver.state
+
+
+def test_lbfgs_refinement(tmp_path):
+    """Adam warmup then L-BFGS fine-tune must reduce the loss
+    (reference train_LBFGS_epoch_func two-phase recipe)."""
+    solver = _tiny_laplace_solver(tmp_path, epochs=2, iters=3)
+    solver.train()
+    m0, _ = solver.eval()
+    s2 = _tiny_laplace_solver(tmp_path / "l", epochs=1, iters=15)
+    s2.optimizer = psci.optimizer.LBFGS(max_iter=15)(s2.model)
+    s2._lbfgs_mode = True
+    s2.state["params"] = solver.state["params"]
+    s2.state["opt_state"] = s2._tx().init(s2._opt_target(s2.state))
+    s2.train()
+    m1, _ = s2.eval()
+    assert m1 < m0
