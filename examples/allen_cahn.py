@@ -88,6 +88,7 @@ def build_solver(
     eval_during_train: bool = True,
     with_validator: bool = True,
     seed: int = 42,
+    arch: str = "mlp",
 ):
     import jax
     import jax.numpy as jnp
@@ -99,17 +100,30 @@ def build_solver(
 
     psci.utils.set_random_seed(seed)
 
-    # model per reference conf/allen_cahn_default.yaml MODEL section
-    model = psci.arch.MLP(
-        ("t", "x"),
-        ("u",),
-        num_layers=4,
-        hidden_size=256,
-        activation="tanh",
-        periods={"x": (2.0, False)},
-        fourier={"dim": 256, "scale": 1.0},
-        random_weight={"mean": 0.5, "std": 0.1},
-    )
+    # model per reference conf/allen_cahn_default.yaml MODEL section;
+    # arch="piratenet" follows conf/allen_cahn_piratenet.yaml (3 blocks x 256)
+    if arch == "piratenet":
+        model = psci.arch.PirateNet(
+            ("t", "x"),
+            ("u",),
+            num_blocks=3,
+            hidden_size=256,
+            activation="tanh",
+            periods={"x": (2.0, False)},
+            fourier={"dim": 256, "scale": 2.0},
+            random_weight={"mean": 1.0, "std": 0.1},
+        )
+    else:
+        model = psci.arch.MLP(
+            ("t", "x"),
+            ("u",),
+            num_layers=4,
+            hidden_size=256,
+            activation="tanh",
+            periods={"x": (2.0, False)},
+            fourier={"dim": 256, "scale": 1.0},
+            random_weight={"mean": 0.5, "std": 0.1},
+        )
 
     equation = {"AllenCahn": psci.equation.AllenCahn(eps=0.01)}
 

@@ -439,11 +439,16 @@ class Solver:
 
             if self.save_freq > 0 and epoch % self.save_freq == 0:
                 save_load.save_checkpoint(self.state, self.output_dir, f"epoch_{epoch}")
-            save_load.save_checkpoint(
-                self.state, self.output_dir, "latest",
-                metric={"metric": self.best_metric["metric"], "epoch": epoch},
-                print_log=False,
-            )
+            # throttle "latest": orbax save round-trips the whole state; at
+            # high epoch rates this dominated wall time (observed 2x slowdown)
+            now = time.perf_counter()
+            if epoch == self.epochs or now - getattr(self, "_last_save_t", 0.0) > 60.0:
+                save_load.save_checkpoint(
+                    self.state, self.output_dir, "latest",
+                    metric={"metric": self.best_metric["metric"], "epoch": epoch},
+                    print_log=False,
+                )
+                self._last_save_t = now
 
     def _train_fused(self, k: int) -> None:
         """K-fused training driver (see train())."""
@@ -488,10 +493,16 @@ class Solver:
                     save_load.save_checkpoint(self.state, self.output_dir, "best_model", metric=self.best_metric)
             if self.save_freq > 0 and epoch % self.save_freq == 0:
                 save_load.save_checkpoint(self.state, self.output_dir, f"epoch_{epoch}")
-            save_load.save_checkpoint(
-                self.state, self.output_dir, "latest",
-                metric={"metric": self.best_metric["metric"], "epoch": epoch}, print_log=False,
-            )
+            # throttle "latest": orbax save round-trips the whole state; at
+            # high epoch rates this dominated wall time (observed 2x slowdown)
+            now = time.perf_counter()
+            if epoch == self.epochs or now - getattr(self, "_last_save_t", 0.0) > 60.0:
+                save_load.save_checkpoint(
+                    self.state, self.output_dir, "latest",
+                    metric={"metric": self.best_metric["metric"], "epoch": epoch},
+                    print_log=False,
+                )
+                self._last_save_t = now
 
     def _train_step_scan(self, scan_fn, stacked):
         return scan_fn(self.state, stacked)
