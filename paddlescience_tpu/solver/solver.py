@@ -168,6 +168,7 @@ class Solver:
                 self.best_metric = metric
 
         self._train_step = None
+        self.loss_history: List[Tuple[int, float]] = []
         self._eval_fns: Dict[str, Callable] = {}
         self._predict_fn = None
         self._lbfgs_mode = bool(optimizer is not None and getattr(optimizer, "is_lbfgs", False))
@@ -422,6 +423,7 @@ class Solver:
                         + f", eta: {eta:.0f}s"
                     )
                     logger.scalar({k: float(v) for k, v in logs.items()}, step)
+                    self.loss_history.append((step, float(logs["loss"])))
 
             # -- eval during train (reference solver.py:575-640) ----------------
             if (
@@ -577,6 +579,12 @@ class Solver:
         if batch_size is None or batch_size >= num:
             batch_size = num
 
+        # cache keyed by the expression dict identity (a second predict()
+        # with different expressions must not reuse the first trace)
+        cache_key = id(expr_dict) if expr_dict is not None else None
+        if getattr(self, "_predict_key", "__unset__") != cache_key:
+            self._predict_fn = None
+            self._predict_key = cache_key
         if self._predict_fn is None:
             exprs = _convert_expr(expr_dict) if expr_dict else None
 
@@ -629,6 +637,24 @@ class Solver:
         for name, vis in self.visualizer.items():
             pred = self.predict(vis.input_dict, vis.output_expr, vis.batch_size, return_numpy=True)
             vis.save(os.path.join(self.output_dir or ".", f"visual/{name}"), {**vis.input_dict, **pred})
+
+    def plot_loss_history(self, by_epoch: bool = False, smooth_step: int = 1) -> None:
+        """Save loss-history curve (reference solver.py:1046-1076)."""
+        if not self.loss_history:
+            logger.warning("no loss history recorded yet")
+            return
+        import matplotlib.pyplot as plt
+
+        steps, losses = zip(*self.loss_history)
+        fig, ax = plt.subplots()
+        ax.semilogy(steps, losses)
+        ax.set_xlabel("epoch" if by_epoch else "step")
+        ax.set_ylabel("loss")
+        out = os.path.join(self.output_dir or ".", "train_loss_history.png")
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        fig.savefig(out, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        logger.info(f"Saved loss history to {out}")
 
     # ---------------------------------------------------------------- finetune --
     def finetune(self, pretrained_model_path: str) -> None:
