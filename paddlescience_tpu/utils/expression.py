@@ -49,9 +49,11 @@ def forward_with_derivatives(
         # separable/product-grid models (SPINN): per-axis coordinate vectors
         # of different lengths produce grid-shaped outputs -> grid stack
         batch_sizes = {input_dict[k].shape[0] for k in in_keys}
-        is_grid = any(v.ndim > 2 for v in batched_out.values()) or len(batch_sizes) > 1
+        grid_keys = [k for k in in_keys if input_dict[k].ndim == 2 and input_dict[k].shape[-1] == 1]
+        is_grid = bool(grid_keys) and (
+            any(v.ndim > 2 for v in batched_out.values()) or len(batch_sizes) > 1
+        )
         if is_grid:
-            grid_keys = [k for k in in_keys if input_dict[k].ndim == 2 and input_dict[k].shape[-1] == 1]
             out_keys = tuple(model.output_keys)
             out_index, ofs = {}, 0
             for k in out_keys:
