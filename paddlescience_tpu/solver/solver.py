@@ -524,7 +524,9 @@ class Solver:
         Returns (target_metric = first metric value, metric dict group)."""
         if not self.validator:
             raise ValueError("no validator available")
-        params = self.state.get("avg_params", self.state["params"]) if False else self.state["params"]
+        # evaluate the averaged model when EMA/SWA is active (reference
+        # evaluates ema_model during training, solver.py:565-575)
+        params = self.state["avg_params"] if "avg_params" in self.state else self.state["params"]
         rest, eq_params = self.state["rest"], self.state["eq_params"]
 
         metric_group: Dict[str, Dict[str, float]] = {}
@@ -549,15 +551,30 @@ class Solver:
                     all_out.setdefault(k, []).append(np.asarray(out[k]))
                     all_lab.setdefault(k, []).append(np.asarray(lab[k]))
 
-            full_out = {k: np.concatenate(vv, axis=0) for k, vv in all_out.items()}
-            full_lab = {k: np.concatenate(vv, axis=0) for k, vv in all_lab.items()}
             metric_group[name] = {}
-            for m_name, metric_fn in v.metric.items():
-                m = metric_fn({k: jnp.asarray(x) for k, x in full_out.items()}, {k: jnp.asarray(x) for k, x in full_lab.items()})
-                for key, val in m.items():
-                    metric_group[name][f"{m_name}.{key}"] = float(val)
+            if self.compute_metric_by_batch:
+                # memory-efficient alternative (reference eval.py:190):
+                # metric per batch, averaged
+                accum: Dict[str, List[float]] = {}
+                for m_name, metric_fn in v.metric.items():
+                    for bo, bl in zip(zip(*all_out.values()), zip(*all_lab.values())):
+                        od = {k: jnp.asarray(x) for k, x in zip(all_out.keys(), bo)}
+                        ld = {k: jnp.asarray(x) for k, x in zip(all_lab.keys(), bl)}
+                        for key, val in metric_fn(od, ld).items():
+                            accum.setdefault(f"{m_name}.{key}", []).append(float(val))
+                for key, vals in accum.items():
+                    metric_group[name][key] = float(np.mean(vals))
                     if target_metric is None:
-                        target_metric = float(val)
+                        target_metric = metric_group[name][key]
+            else:
+                full_out = {k: np.concatenate(vv, axis=0) for k, vv in all_out.items()}
+                full_lab = {k: np.concatenate(vv, axis=0) for k, vv in all_lab.items()}
+                for m_name, metric_fn in v.metric.items():
+                    m = metric_fn({k: jnp.asarray(x) for k, x in full_out.items()}, {k: jnp.asarray(x) for k, x in full_lab.items()})
+                    for key, val in m.items():
+                        metric_group[name][f"{m_name}.{key}"] = float(val)
+                        if target_metric is None:
+                            target_metric = float(val)
             logger.info(
                 f"[Eval][{name}] loss: {np.mean(losses):.5f}, "
                 + ", ".join(f"{k}: {val:.5f}" for k, val in metric_group[name].items())
