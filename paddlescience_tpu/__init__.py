@@ -35,6 +35,12 @@ jax.config.update(
 # shape); caching amortizes them across runs. XLA-internal AOT blobs are
 # excluded ('none') — they embed host-CPU machine features and produce WRONG
 # NUMERICS when the sandbox migrates across heterogeneous hosts (observed).
+# SURVEY §5.2: deterministic PRNG is native; NaN detection via
+# PSCI_DEBUG_NANS=1 (jax_debug_nans re-runs the failing op un-jitted and
+# points at the exact primitive)
+if _os.environ.get("PSCI_DEBUG_NANS", "0") == "1":
+    jax.config.update("jax_debug_nans", True)
+
 if _os.environ.get("PSCI_DISABLE_COMPILE_CACHE", "0") != "1":
     jax.config.update("jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
