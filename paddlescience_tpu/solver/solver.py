@@ -194,7 +194,29 @@ class Solver:
     def _tx(self):
         import optax
 
-        tx = self.optimizer.tx
+        from paddlescience_tpu.optimizer.optimizer import OptimizerList
+
+        if isinstance(self.optimizer, OptimizerList):
+            # per-submodel optimizers (GAN-style, reference optimizer.py:498):
+            # label each ModelList child subtree with its optimizer index
+            n = len(self.optimizer)
+
+            def label_target(target):
+                params, eq_params = target
+                sub = params.get("model_list", params)
+                labels_sub = {k: str(min(int(k) if k.isdigit() else 0, n - 1)) for k in sub}
+                labels = dict(params)
+                if "model_list" in params:
+                    labels = {**{k: "0" for k in params}, "model_list": labels_sub}
+                else:
+                    labels = labels_sub
+                return (labels, jax.tree.map(lambda _: "0", eq_params))
+
+            tx = optax.multi_transform(
+                {str(i): self.optimizer[i].tx for i in range(n)}, label_target
+            )
+        else:
+            tx = self.optimizer.tx
         if self.update_freq > 1 and not self._lbfgs_mode_safe():
             tx = optax.MultiSteps(tx, every_k_schedule=self.update_freq)
         return tx
