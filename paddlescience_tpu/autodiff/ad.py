@@ -303,9 +303,17 @@ def hessian(
     out_col = rec.out_col + (component if component is not None else 0)
     name = tape.coord_name(xs)
     if name is not None:
+        if name not in rec.stack.key_index:
+            raise ValueError(f"coordinate '{name}' is not an input of the differentiated model")
         ci = cj = rec.stack.key_index[name]
-    else:
+    elif xs is None:
         ci, cj = int(i), int(j)
+    else:
+        raise ValueError(
+            "xs is not a registered input coordinate; pass one of the arrays "
+            "from the constraint input dict (or xs=None with explicit i/j "
+            "input-column indices)"
+        )
     dmulti = rec.dmulti + (ci, cj)
     comp = rec.stack.get_component(dmulti)
     out = comp[..., out_col][..., None]

@@ -97,22 +97,36 @@ class Module:
             self._params[name] = value.value
             self._buffers.pop(name, None)
             self._children.pop(name, None)
+            self.__dict__.pop(name, None)  # clear stale instance attribute
         elif isinstance(value, Buffer):
             self._buffers[name] = value.value
             self._params.pop(name, None)
             self._children.pop(name, None)
+            self.__dict__.pop(name, None)
         elif isinstance(value, Module):
             self._children[name] = value
+            self._params.pop(name, None)
+            self._buffers.pop(name, None)
             object.__setattr__(self, name, value)
         elif isinstance(value, (list, tuple)) and value and all(isinstance(v, Module) for v in value):
             wrapped = ModuleList(value)
             self._children[name] = wrapped
+            self._params.pop(name, None)
+            self._buffers.pop(name, None)
             object.__setattr__(self, name, wrapped)
         elif isinstance(value, dict) and value and all(isinstance(v, Module) for v in value.values()):
             wrapped = ModuleDict(value)
             self._children[name] = wrapped
+            self._params.pop(name, None)
+            self._buffers.pop(name, None)
             object.__setattr__(self, name, wrapped)
         else:
+            # plain attribute: clear any stale Param/Buffer/child registration
+            # left by a previous assignment of a different kind
+            if name in self._params or name in self._buffers or name in self._children:
+                self._params.pop(name, None)
+                self._buffers.pop(name, None)
+                self._children.pop(name, None)
             object.__setattr__(self, name, value)
 
     def __getattr__(self, name: str):
@@ -232,7 +246,8 @@ class ModuleDict(Module):
 
     def __setitem__(self, k: str, v: Module):
         self._children[k] = v
-        self._keys.append(k)
+        if k not in self._keys:
+            self._keys.append(k)
 
     def __getitem__(self, k: str):
         return self._children[k]
@@ -265,9 +280,11 @@ class Sequential(Module):
     """Chain of callables (modules or plain functions)."""
 
     def __init__(self, *layers):
-        mods = [l for l in layers if isinstance(l, Module)]
-        self._layers = list(layers)
-        for i, m in enumerate(mods):
+        # bypass __setattr__: the seq{i} children below are the single
+        # registration (a plain assignment would auto-wrap an all-Module
+        # list into a second child and duplicate every parameter)
+        object.__setattr__(self, "_layers", list(layers))
+        for i, m in enumerate(l for l in layers if isinstance(l, Module)):
             self._children[f"seq{i}"] = m
 
     def __call__(self, x):

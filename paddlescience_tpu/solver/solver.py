@@ -205,7 +205,6 @@ class Solver:
                 params, eq_params = target
                 sub = params.get("model_list", params)
                 labels_sub = {k: str(min(int(k) if k.isdigit() else 0, n - 1)) for k in sub}
-                labels = dict(params)
                 if "model_list" in params:
                     labels = {**{k: "0" for k in params}, "model_list": labels_sub}
                 else:
@@ -618,12 +617,11 @@ class Solver:
         if batch_size is None or batch_size >= num:
             batch_size = num
 
-        # cache keyed by the expression dict identity (a second predict()
-        # with different expressions must not reuse the first trace)
-        cache_key = id(expr_dict) if expr_dict is not None else None
-        if getattr(self, "_predict_key", "__unset__") != cache_key:
+        # cache keyed by the expression dict identity; hold a reference so a
+        # GC'd dict can't alias the id of a new one (silent wrong outputs)
+        if getattr(self, "_predict_key_ref", "__unset__") is not expr_dict:
             self._predict_fn = None
-            self._predict_key = cache_key
+            self._predict_key_ref = expr_dict
         if self._predict_fn is None:
             exprs = _convert_expr(expr_dict) if expr_dict else None
 

@@ -164,14 +164,6 @@ class _Lowerer:
             if isinstance(expr.func, sp.core.function.UndefinedFunction):
                 # model output / named field: u(x, y) -> out["u"]
                 return self._lookup(fname)
-            if expr.func in (sp.Max, sp.Min):
-                op = jnp.maximum if expr.func is sp.Max else jnp.minimum
-                vals = [self.eval(a) for a in expr.args]
-                return functools.reduce(op, vals)
-            if expr.func is sp.Heaviside:
-                x = self.eval(expr.args[0])
-                h0 = self.eval(expr.args[1]) if len(expr.args) > 1 else 0.5
-                return _heaviside(x, h0)
             if expr.func in _FUNC_MAP:
                 return _FUNC_MAP[expr.func](*[self.eval(a) for a in expr.args])
             raise NotImplementedError(f"sympy function {expr.func} not lowered yet")
@@ -187,17 +179,6 @@ class _Lowerer:
             if isinstance(exponent, sp.Number):
                 return _eval_pow(base, float(exponent))
             return base ** self.eval(exponent)
-        if isinstance(expr, sp.Piecewise):
-            # right-fold of jnp.where over (value, cond) pairs
-            result = None
-            for value, cond in reversed(expr.args):
-                v = self.eval(value)
-                if cond is sp.true or cond == True:  # noqa: E712
-                    result = v
-                else:
-                    c = self.eval(cond)
-                    result = v if result is None else jnp.where(c, v, result)
-            return result
         if isinstance(expr, sp.core.relational.Relational):
             lhs, rhs = self.eval(expr.lhs), self.eval(expr.rhs)
             ops = {

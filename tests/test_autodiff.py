@@ -144,3 +144,21 @@ def test_functional_api():
     np.testing.assert_allclose(np.asarray(J[:, 0, 0]), np.asarray(2 * x[:, 0] * x[:, 1]), rtol=1e-5)
     H = ad.hessian_fn(f)(x)
     np.testing.assert_allclose(np.asarray(H[:, 0, 0, 0]), np.asarray(2 * x[:, 1]), rtol=1e-5)
+
+
+def test_hessian_rejects_unregistered_xs():
+    # regression: hessian() silently fell back to i=j=0 when xs was not a
+    # registered input coordinate
+    import pytest
+
+    model = psci.arch.MLP(("x", "y"), ("u",), 2, 8)
+    inp = {"x": jnp.linspace(0.0, 1.0, 8).reshape(-1, 1),
+           "y": jnp.zeros((8, 1))}
+    bogus = jnp.ones((8, 1))
+
+    with ad.tape_context() as tape:
+        out = expression.forward_with_derivatives([model], inp, tape)
+        with pytest.raises(ValueError, match="not a registered"):
+            ad.hessian(out["u"], bogus)
+        h = ad.hessian(out["u"], out["x"])  # registered coord still works
+    assert h.shape == (8, 1)

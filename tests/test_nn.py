@@ -116,3 +116,43 @@ def test_hessian_under_grad_compiles_fast():
     elapsed = time.time() - t0
     assert jnp.isfinite(v)
     assert elapsed < 30, f"hessian-under-grad compile too slow: {elapsed:.1f}s"
+
+
+def test_sequential_no_param_duplication():
+    # regression: Sequential once registered layers twice (auto-wrapped
+    # _layers list + explicit seq{i} children), doubling every param
+    import paddlescience_tpu.nn as nn
+
+    rngs = nn.Rngs(0)
+    seq = nn.Sequential(nn.Linear(3, 4, rngs=rngs), nn.Lambda(jnp.tanh), nn.Linear(4, 2, rngs=rngs))
+    n = seq.num_params
+    assert n == (3 * 4 + 4) + (4 * 2 + 2), n
+    tree = seq.param_tree()
+    assert set(tree) == {"seq0", "seq2"}, set(tree)  # seq1 = paramless Lambda
+
+
+def test_setattr_kind_transition():
+    # reassigning a Param name as Buffer (or plain attr) must not leave a
+    # stale entry behind in the old registry
+    import paddlescience_tpu.nn as nn
+
+    class M(nn.Module):
+        def __init__(self):
+            self.w = nn.Param(jnp.ones((2,)))
+
+    m = M()
+    assert "w" in m.param_tree()
+    m.w = nn.Buffer(jnp.zeros((2,)))
+    assert "w" not in m.param_tree() and "w" in m.buffer_tree()
+    m.w = 3.0  # plain python attr
+    assert "w" not in m.buffer_tree() and m.w == 3.0
+
+
+def test_moduledict_reassign_no_dup_keys():
+    import paddlescience_tpu.nn as nn
+
+    rngs = nn.Rngs(0)
+    d = nn.ModuleDict({"a": nn.Linear(2, 2, rngs=rngs)})
+    d["a"] = nn.Linear(2, 3, rngs=rngs)
+    assert list(d) == ["a"]
+    assert len(d.items()) == 1
