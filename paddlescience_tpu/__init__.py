@@ -41,7 +41,15 @@ jax.config.update(
 if _os.environ.get("PSCI_DEBUG_NANS", "0") == "1":
     jax.config.update("jax_debug_nans", True)
 
-if _os.environ.get("PSCI_DISABLE_COMPILE_CACHE", "0") != "1":
+# On the CPU backend the cached entry IS a host-specific AOT executable
+# ('enable_xla_caches' only governs the GPU side caches), so a persistent
+# cache on CPU risks SIGILL/wrong numerics after a host migration — and CPU
+# compiles are fast anyway. Enable the cache only when not pinned to CPU.
+_cpu_pinned = (
+    _os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu"
+    or _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+)
+if _os.environ.get("PSCI_DISABLE_COMPILE_CACHE", "0") != "1" and not _cpu_pinned:
     jax.config.update("jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -72,6 +72,26 @@ _DATASETS = {
     "ERA5Dataset": ERA5Dataset,
     "DarcyFlowDataset": DarcyFlowDataset,
     "VtuDataset": VtuDataset,
+    "LorenzDataset": dataset.LorenzDataset,
+    "RosslerDataset": dataset.RosslerDataset,
+    "CylinderDataset": dataset.CylinderDataset,
+    "ENSODataset": dataset.ENSODataset,
+    "ExtMoEENSODataset": dataset.ExtMoEENSODataset,
+    "DGMRDataset": dataset.DGMRDataset,
+    "RadarDataset": dataset.RadarDataset,
+    "MRMSDataset": dataset.MRMSDataset,
+    "MRMSSampledDataset": dataset.MRMSSampledDataset,
+    "SEVIRDataset": dataset.SEVIRDataset,
+    "FWIDataset": dataset.FWIDataset,
+    "PEMSDataset": dataset.PEMSDataset,
+    "SphericalSWEDataset": dataset.SphericalSWEDataset,
+    "ChipHeatDataset": dataset.ChipHeatDataset,
+    "MeshAirfoilDataset": dataset.MeshAirfoilDataset,
+    "MeshCylinderDataset": dataset.MeshCylinderDataset,
+    "GridMeshAtmosphericDataset": dataset.GridMeshAtmosphericDataset,
+    "CGCNNDataset": dataset.CGCNNDataset,
+    "MOlFLOWDataset": dataset.MOlFLOWDataset,
+    "ERA5SampledDataset": dataset.ERA5SampledDataset,
 }
 
 

@@ -100,5 +100,39 @@ class SupervisedValidator(Validator):
         super().__init__(dataset, dataloader_cfg, loss, metric, name or "SupValidator")
 
 
-def build_validator(cfg, *args, **kwargs):
-    raise NotImplementedError("construct validators directly; config-driven build lands with the full config layer")
+def build_validator(cfg, equation_dict=None, geom_dict=None):
+    """Build validators from a config (reference
+    ``ppsci/validate/__init__.py:30-80``): shared ``dataloader`` block +
+    ``content`` list of ``{ClassName: kwargs}``; string ``output_expr``
+    entries resolve through ``equation_dict[name].equations``, string
+    ``geom`` through ``geom_dict``, and ``loss``/``metric`` sub-configs
+    through their registries."""
+    import copy as _copy
+
+    from paddlescience_tpu.loss import build_loss
+    from paddlescience_tpu.metric import build_metric
+
+    if cfg is None:
+        return None
+    cfg = _copy.deepcopy(dict(cfg))
+    global_dl = dict(cfg.get("dataloader", {}))
+    out = {}
+    for item in cfg["content"]:
+        cls_name = next(iter(item.keys()))
+        c = dict(item[cls_name])
+        name = c.get("name", cls_name)
+        if isinstance(c.get("geom"), str):
+            c["geom"] = geom_dict[c.pop("geom")]
+        if "output_expr" in c and equation_dict:
+            for k, expr in list(c["output_expr"].items()):
+                if isinstance(expr, str) and expr in equation_dict:
+                    c["output_expr"][k] = equation_dict[expr].equations[k]
+        dl = dict(c.pop("dataloader", {}))
+        dl.update(global_dl)
+        c["dataloader_cfg"] = dl
+        if "loss" in c and not callable(c["loss"]):
+            c["loss"] = build_loss(c["loss"])
+        if "metric" in c and c["metric"] and not callable(next(iter(c["metric"].values()), None)):
+            c["metric"] = {k: build_metric(v) if isinstance(v, dict) else v for k, v in c["metric"].items()}
+        out[name] = globals()[cls_name](**c)
+    return out

@@ -20,6 +20,8 @@ __all__ = [
     "Visualizer3D",
     "VisualizerScatter1D",
     "VisualizerScatter3D",
+    "VisualizerWeather",
+    "VisualizerRadar",
 ]
 
 
@@ -86,3 +88,96 @@ class Visualizer3D(Visualizer):
 
 
 VisualizerScatter3D = Visualizer3D
+
+
+class VisualizerWeather(Visualizer):
+    """Side-by-side (prediction, target) global-field images per timestamp
+    (reference visualizer.py:323-390: pcolormesh pairs with shared colormap,
+    optional LogNorm for precipitation)."""
+
+    def __init__(
+        self,
+        input_dict,
+        output_expr,
+        xticks=None,
+        xticklabels=None,
+        yticks=None,
+        yticklabels=None,
+        vmin: float = 0.0,
+        vmax: float = 1.0,
+        colorbar_label: str = "",
+        log_norm: bool = False,
+        batch_size: int = 1,
+        num_timestamps: int = 1,
+        prefix: str = "plot_weather",
+    ):
+        super().__init__(input_dict, output_expr, batch_size, num_timestamps, prefix)
+        self.xticks, self.xticklabels = xticks, xticklabels
+        self.yticks, self.yticklabels = yticks, yticklabels
+        self.vmin, self.vmax = vmin, vmax
+        self.colorbar_label = colorbar_label
+        self.log_norm = log_norm
+
+    def save(self, filename: str, data_dict):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from matplotlib import colors
+
+        keys = list(self.output_keys)
+        norm = colors.LogNorm(max(self.vmin, 1e-6), self.vmax) if self.log_norm else None
+        for t in range(self.num_timestamps):
+            fig, axes = plt.subplots(1, len(keys), figsize=(5 * len(keys), 4), squeeze=False)
+            for ax, k in zip(axes[0], keys):
+                field = np.asarray(data_dict[k])
+                img = field[t] if field.ndim >= 3 else field
+                img = np.squeeze(img)
+                m = ax.imshow(img, vmin=None if norm else self.vmin,
+                              vmax=None if norm else self.vmax, norm=norm, cmap="viridis")
+                ax.set_title(k)
+                if self.xticks is not None:
+                    ax.set_xticks(self.xticks)
+                    ax.set_xticklabels(self.xticklabels or self.xticks)
+                if self.yticks is not None:
+                    ax.set_yticks(self.yticks)
+                    ax.set_yticklabels(self.yticklabels or self.yticks)
+                fig.colorbar(m, ax=ax, label=self.colorbar_label)
+            import os
+
+            os.makedirs(os.path.dirname(os.path.abspath(filename)) or ".", exist_ok=True)
+            fig.savefig(f"{filename}_t{t}.png", dpi=100, bbox_inches="tight")
+            plt.close(fig)
+
+
+class VisualizerRadar(Visualizer):
+    """Radar echo frame strips (reference radar.py: one row of frames per
+    field, NowcastNet precipitation colormap simplified to 'turbo')."""
+
+    def __init__(self, input_dict, output_expr, batch_size: int = 1,
+                 num_timestamps: int = 1, prefix: str = "plot_radar", **kwargs):
+        super().__init__(input_dict, output_expr, batch_size, num_timestamps, prefix)
+
+    def save(self, filename: str, data_dict):
+        import os
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        keys = list(self.output_keys)
+        for k in keys:
+            frames = np.asarray(data_dict[k])
+            frames = np.squeeze(frames)
+            if frames.ndim == 2:
+                frames = frames[None]
+            T = frames.shape[0]
+            fig, axes = plt.subplots(1, T, figsize=(2 * T, 2.2), squeeze=False)
+            for t in range(T):
+                axes[0][t].imshow(frames[t], cmap="turbo", vmin=0)
+                axes[0][t].set_axis_off()
+                axes[0][t].set_title(f"t={t}", fontsize=8)
+            os.makedirs(os.path.dirname(os.path.abspath(filename)) or ".", exist_ok=True)
+            fig.savefig(f"{filename}_{k}.png", dpi=100, bbox_inches="tight")
+            plt.close(fig)

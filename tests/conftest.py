@@ -14,6 +14,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# CPU persistent-cache entries are host-specific AOT executables; disable
+# (see paddlescience_tpu/__init__.py)
+jax.config.update("jax_compilation_cache_dir", None)
 
 import numpy as np
 import pytest
