@@ -1,0 +1,54 @@
+"""Earthformer on ENSO SST prediction (reference
+``examples/earthformer/earthformer_enso_train.py``).
+
+CuboidTransformer maps 12 months of SST (T_in, lat, lon, 1) to the next 26
+(14 effective after the reference's 12-step overlap). The CMIP/SODA archive
+is not downloadable here; ENSODataset falls back to smooth spectral SST
+fields. Exercises cuboid attention + the windowed climate dataset + RMSE.
+"""
+
+import sys
+
+import numpy as np
+
+import paddlescience_tpu as psci
+
+IN_LEN, OUT_LEN, LAT, LON = 6, 4, 16, 32
+
+
+def build_solver(epochs=3, output_dir="./output_earthformer_enso"):
+    psci.utils.set_random_seed(0)
+    model = psci.arch.CuboidTransformer(
+        ("sst",), ("target",),
+        input_shape=(IN_LEN, LAT, LON, 1),
+        target_shape=(OUT_LEN, LAT, LON, 1),
+        base_units=32, num_heads=4, enc_depth=(1, 1), dec_depth=(1,),
+        cuboid_size=(2, 4, 4),
+    )
+    dl = {
+        "dataset": {"name": "ENSODataset", "input_keys": ("sst",), "label_keys": ("target",),
+                    "in_len": IN_LEN, "out_len": OUT_LEN, "lat": LAT, "lon": LON},
+        "batch_size": 4,
+        "sampler": {"name": "BatchSampler", "shuffle": True, "drop_last": True},
+    }
+    sup = psci.constraint.SupervisedConstraint(
+        dl, psci.loss.MSELoss("mean"), {"target": lambda out: out["target"]}, name="Sup")
+    validator = psci.validate.SupervisedValidator(
+        {**dl, "sampler": {"name": "BatchSampler", "shuffle": False, "drop_last": False}},
+        psci.loss.MSELoss("mean"), metric={"RMSE": psci.metric.RMSE()}, name="enso_valid")
+    lr = psci.optimizer.lr_scheduler.Cosine(
+        epochs=epochs, iters_per_epoch=3, learning_rate=2e-3, warmup_epoch=1)()
+    return psci.solver.Solver(
+        model, {"Sup": sup}, output_dir,
+        psci.optimizer.AdamW(lr, weight_decay=1e-5)(model),
+        epochs=epochs, iters_per_epoch=3,
+        validator={"enso_valid": validator}, eval_during_train=False, log_freq=3)
+
+
+if __name__ == "__main__":
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    solver = build_solver(epochs=epochs)
+    solver.train()
+    loss, metrics = solver.eval()
+    print("earthformer ENSO eval:",
+          {f"{g}.{k}": float(np.asarray(v).mean()) for g, kv in metrics.items() for k, v in kv.items()})

@@ -1,0 +1,85 @@
+"""PhyCRNet for the 2-D Burgers equations (reference
+``examples/phycrnet/main.py``).
+
+Physics-encoded convolutional-recurrent net: encoder + ConvLSTM + pixel
+shuffle with a hard Euler step u_{t+1} = u_t + dt * f(u_t). The loss is the
+finite-difference PDE residual of the rolled-out trajectory (physics-only
+training, no labels) — reference uses fixed FD kernels; here the same
+5-point Laplacian/central-difference stencils via jnp convolutions.
+"""
+
+import sys
+
+import numpy as np
+
+import paddlescience_tpu as psci
+
+H = W = 32
+DT, NU = 0.002, 0.01
+
+
+def _initial_field(seed=0):
+    rng = np.random.default_rng(seed)
+    k = np.fft.fftfreq(H, 1.0 / H)
+    KX, KY = np.meshgrid(k, k, indexing="ij")
+    spec = (rng.normal(size=(2, H, W)) + 1j * rng.normal(size=(2, H, W)))
+    spec *= ((KX**2 + KY**2) <= 25).astype(float)
+    f = np.real(np.fft.ifft2(spec, axes=(-2, -1)))
+    f = f / (np.abs(f).max() + 1e-9)
+    return f[None].astype(np.float32)  # (1, 2, H, W)
+
+
+def main(steps=60):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    psci.utils.set_random_seed(0)
+    model = psci.arch.PhyCRNet(
+        input_channels=2, hidden_channels=(8, 32, 32, 128),
+        input_kernel_size=(4, 4, 4, 3), input_stride=(2, 2, 2, 1),
+        input_padding=(1, 1, 1, 1), dt=DT, num_layers=(3, 1),
+        upscale_factor=8, step=4, effective_step=tuple(range(4)))
+    u0 = jnp.asarray(_initial_field())
+    params = model.param_tree()
+    tx = optax.adam(2e-3)
+    opt = tx.init(params)
+    dx = 1.0 / H
+
+    def fd_residual(u_seq):
+        """Burgers residual via periodic central differences on the rollout."""
+        res = 0.0
+        for t in range(len(u_seq) - 1):
+            u = u_seq[t]
+            u_t = (u_seq[t + 1] - u_seq[t]) / DT
+            ux = (jnp.roll(u, -1, -1) - jnp.roll(u, 1, -1)) / (2 * dx)
+            uy = (jnp.roll(u, -1, -2) - jnp.roll(u, 1, -2)) / (2 * dx)
+            lap = (jnp.roll(u, -1, -1) + jnp.roll(u, 1, -1) + jnp.roll(u, -1, -2)
+                   + jnp.roll(u, 1, -2) - 4 * u) / dx**2
+            adv = u[:, :1] * ux + u[:, 1:] * uy
+            res = res + jnp.mean((u_t + adv - NU * lap) ** 2)
+        return res / (len(u_seq) - 1)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            out = model.apply(p, {"initial_state": None, "input": u0})
+            return fd_residual([u0] + list(out["outputs"]))
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(g, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    first = last = None
+    for it in range(steps):
+        params, opt, loss = step(params, opt)
+        if it == 0:
+            first = float(loss)
+        last = float(loss)
+    print(f"PhyCRNet Burgers residual: {first:.2f} -> {last:.2f} over {steps} steps")
+    assert last < first
+    return last
+
+
+if __name__ == "__main__":
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    main(steps)
