@@ -32,7 +32,19 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Tape", "current_tape", "jacobian", "hessian", "clear", "jacobian_fn", "hessian_fn"]
+__all__ = [
+    "Tape",
+    "TapeArray",
+    "current_tape",
+    "jacobian",
+    "hessian",
+    "clear",
+    "jacobian_fn",
+    "hessian_fn",
+    "unwrap",
+    "stop_gradient",
+    "wrap_tape_outputs",
+]
 
 
 class _DerivStack:
@@ -209,6 +221,203 @@ class Tape:
         return out
 
 
+class TapeArray:
+    """A batched array paired with its pointwise function — the bridge that
+    lets ``jacobian``/``hessian`` differentiate *composed* expressions like
+    ``jacobian(rho * u, x)`` (reference ad.py does this for free because
+    paddle.grad walks the dynamic graph; a jit trace has no such graph, so we
+    carry the per-point function alongside the value).
+
+    ``value``: (N, w) batched array — what the expression ultimately uses.
+    ``pf(xvec, extras) -> (w,)``: the same quantity at one collocation point.
+    Arithmetic on TapeArrays composes both; ``jacobian`` applies a nested
+    ``jax.jvp`` to ``pf`` and vmaps it over the stack's point batch (XLA CSE
+    merges the shared primal chains, so composition costs no extra forward
+    passes at runtime).
+
+    Mixing with batched arrays or across stacks degrades to a plain array
+    (values stay correct; a later ``jacobian`` on the result raises the
+    standard "not on the autodiff tape" error instead of being silently
+    wrong). jnp.* ufuncs on a TapeArray raise outright in this jax version
+    (``__jax_array__`` unsupported) — use the tracked methods (``.sin()``,
+    ``abs()``, ...) or ``ad.unwrap`` explicitly.
+    """
+
+    __slots__ = ("value", "pf", "stack")
+
+    def __init__(self, value, pf, stack):
+        self.value = value
+        self.pf = pf
+        self.stack = stack
+
+    # -- degrading interop -------------------------------------------------------
+    def __jax_array__(self):
+        return self.value
+
+    def __array__(self, dtype=None):
+        import numpy as _np
+
+        return _np.asarray(self.value, dtype=dtype)
+
+    @property
+    def shape(self):
+        return self.value.shape
+
+    @property
+    def ndim(self):
+        return self.value.ndim
+
+    @property
+    def dtype(self):
+        return self.value.dtype
+
+    def __getitem__(self, idx):
+        return self.value[idx]
+
+    def __repr__(self):
+        return f"TapeArray({self.value!r})"
+
+    # -- tracked arithmetic --------------------------------------------------------
+    def _binop(self, other, op, reflected=False):
+        apply = (lambda a, b: op(b, a)) if reflected else op
+        if isinstance(other, TapeArray):
+            if other.stack is not self.stack:
+                return apply(self.value, other.value)  # cross-stack: degrade
+            f, g = self.pf, other.pf
+            return TapeArray(
+                apply(self.value, other.value),
+                lambda xv, ex: apply(f(xv, ex), g(xv, ex)),
+                self.stack,
+            )
+        is_scalar = isinstance(other, (int, float)) or getattr(other, "ndim", None) == 0
+        if is_scalar:
+            f = self.pf
+            return TapeArray(
+                apply(self.value, other), lambda xv, ex: apply(f(xv, ex), other), self.stack
+            )
+        return apply(self.value, other)  # batched-array operand: degrade
+
+    def __add__(self, o):
+        return self._binop(o, lambda a, b: a + b)
+
+    def __radd__(self, o):
+        return self._binop(o, lambda a, b: a + b, reflected=True)
+
+    def __sub__(self, o):
+        return self._binop(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._binop(o, lambda a, b: a - b, reflected=True)
+
+    def __mul__(self, o):
+        return self._binop(o, lambda a, b: a * b)
+
+    def __rmul__(self, o):
+        return self._binop(o, lambda a, b: a * b, reflected=True)
+
+    def __truediv__(self, o):
+        return self._binop(o, lambda a, b: a / b)
+
+    def __rtruediv__(self, o):
+        return self._binop(o, lambda a, b: a / b, reflected=True)
+
+    def __pow__(self, e):
+        if isinstance(e, (int, float)):
+            f = self.pf
+            return TapeArray(self.value**e, lambda xv, ex: f(xv, ex) ** e, self.stack)
+        return self.value ** (e.value if isinstance(e, TapeArray) else e)
+
+    def __neg__(self):
+        f = self.pf
+        return TapeArray(-self.value, lambda xv, ex: -f(xv, ex), self.stack)
+
+    def __abs__(self):
+        f = self.pf
+        return TapeArray(jnp.abs(self.value), lambda xv, ex: jnp.abs(f(xv, ex)), self.stack)
+
+    def _unary(self, fn):
+        f = self.pf
+        return TapeArray(fn(self.value), lambda xv, ex: fn(f(xv, ex)), self.stack)
+
+    def tanh(self):
+        return self._unary(jnp.tanh)
+
+    def exp(self):
+        return self._unary(jnp.exp)
+
+    def sin(self):
+        return self._unary(jnp.sin)
+
+    def cos(self):
+        return self._unary(jnp.cos)
+
+    def sqrt(self):
+        return self._unary(jnp.sqrt)
+
+    # comparisons degrade to plain boolean arrays
+    def __lt__(self, o):
+        return self.value < unwrap(o)
+
+    def __le__(self, o):
+        return self.value <= unwrap(o)
+
+    def __gt__(self, o):
+        return self.value > unwrap(o)
+
+    def __ge__(self, o):
+        return self.value >= unwrap(o)
+
+
+def unwrap(v):
+    """TapeArray -> its batched value; anything else passes through."""
+    return v.value if isinstance(v, TapeArray) else v
+
+
+def stop_gradient(v):
+    """detach that preserves composability (symbolic DETACH lowering)."""
+    if isinstance(v, TapeArray):
+        f = v.pf
+        return TapeArray(
+            jax.lax.stop_gradient(v.value),
+            lambda xv, ex: jax.lax.stop_gradient(f(xv, ex)),
+            v.stack,
+        )
+    return jax.lax.stop_gradient(v)
+
+
+def wrap_tape_outputs(tape: "Tape", out: Dict[str, jnp.ndarray]) -> Dict[str, object]:
+    """Build the TapeArray view of an ``out`` dict produced by
+    ``forward_with_derivatives``: model outputs (dense stacks) and — when the
+    constraint has a single stack — the coordinate columns. Grid-stack (SPINN)
+    outputs and extras stay plain arrays (their derivative path is the
+    registered-array one)."""
+    dense_stacks = [s for s in tape._stacks if isinstance(s, _DerivStack)]
+    single = dense_stacks[0] if len(dense_stacks) == 1 else None
+    wrapped: Dict[str, object] = {}
+    for k, v in out.items():
+        rec = tape.lookup(v)
+        if rec is not None and isinstance(rec.stack, _DerivStack) and rec.dmulti == ():
+            stack, col = rec.stack, rec.out_col
+            w = int(v.shape[-1]) if v.ndim >= 1 else 1
+
+            def pf(xvec, extras, _s=stack, _c=col, _w=w):
+                return _s.fn(xvec, extras)[_c : _c + _w]
+
+            wrapped[k] = TapeArray(v, pf, stack)
+            continue
+        name = tape.coord_name(v)
+        if name is not None and single is not None and name in single.key_index:
+            i = single.key_index[name]
+
+            def cpf(xvec, extras, _i=i):
+                return xvec[_i : _i + 1]
+
+            wrapped[k] = TapeArray(v, cpf, single)
+            continue
+        wrapped[k] = v
+    return wrapped
+
+
 import contextvars
 
 _CURRENT_TAPE: contextvars.ContextVar[Optional[Tape]] = contextvars.ContextVar("psci_tape", default=None)
@@ -272,6 +481,8 @@ def jacobian(
     tape = _require_tape()
     if isinstance(xs, (list, tuple)):
         return [jacobian(ys, x, i, j) for x in xs]
+    if isinstance(ys, TapeArray):
+        return _tracked_jacobian(tape, ys, xs, i, j)
     rec = tape.lookup(ys)
     if rec is None:
         raise ValueError(
@@ -281,6 +492,35 @@ def jacobian(
     col = _resolve_input_col(tape, rec, xs, j)
     rec = _Record(rec.stack, rec.out_col + i, rec.dmulti)
     return tape.derivative(rec, col)
+
+
+def _tracked_jacobian(tape: Tape, ys: TapeArray, xs, i: int, j: Optional[int]) -> TapeArray:
+    """Derivative of a composed expression: nested jvp on the point function,
+    vmapped over the stack's collocation batch."""
+    stack = ys.stack
+    xs_val = xs.value if isinstance(xs, TapeArray) else xs
+    name = tape.coord_name(xs_val)
+    if name is not None:
+        if name not in stack.key_index:
+            raise ValueError(f"coordinate '{name}' is not an input of the differentiated model")
+        col = stack.key_index[name]
+    elif j is not None:
+        col = int(j)
+    else:
+        raise ValueError(
+            "xs is not a registered input coordinate of the current tape; "
+            "pass one of the arrays from the constraint input dict"
+        )
+    f = ys.pf
+    d = stack.x.shape[-1]
+
+    def dpf(xvec, extras, _f=f, _col=col, _d=d, _i=i):
+        tangent = jnp.zeros((_d,)).at[_col].set(1.0)
+        res = jax.jvp(lambda v: _f(v, extras), (xvec,), (tangent,))[1]
+        return res[_i : _i + 1] if _i else res
+
+    val = jax.vmap(dpf)(stack.x, stack.extras)
+    return TapeArray(val, dpf, stack)
 
 
 def hessian(
@@ -297,6 +537,9 @@ def hessian(
     the order-2 stack.
     """
     tape = _require_tape()
+    if isinstance(ys, TapeArray):
+        first = _tracked_jacobian(tape, ys, xs, component or 0, i if xs is None else None)
+        return _tracked_jacobian(tape, first, xs, 0, j if xs is None else None)
     rec = tape.lookup(ys)
     if rec is None:
         raise ValueError("ys is not on the autodiff tape")

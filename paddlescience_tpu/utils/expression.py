@@ -123,6 +123,9 @@ def evaluate_expressions(
         out = forward_with_derivatives(models, input_dict, tape)
         if extra_values:
             out.update(extra_values)
+        # TapeArray view: composed expressions (rho * u, lam-weighted
+        # residuals, ...) stay differentiable inside equation closures
+        wrapped = ad.wrap_tape_outputs(tape, out)
         results: Dict[str, jnp.ndarray] = {}
         for name, expr in output_exprs.items():
             if not callable(expr):
@@ -130,7 +133,7 @@ def evaluate_expressions(
                     f"output expression '{name}' must be callable (python closure "
                     f"or ppsci.lambdify(sympy_expr)), got {type(expr)}"
                 )
-            results[name] = expr(out)
+            results[name] = ad.unwrap(expr(wrapped))
         # carry area/weight columns through for integral-type losses
         for aux in ("area", "sdf"):
             if aux in out and aux not in results:

@@ -134,11 +134,11 @@ class _Lowerer:
         # Max/Min/Heaviside are not sp.Function subclasses — handle early
         if expr.func in (sp.Max, sp.Min):
             op = jnp.maximum if expr.func is sp.Max else jnp.minimum
-            vals = [self.eval(a) for a in expr.args]
+            vals = [ad.unwrap(self.eval(a)) for a in expr.args]
             return functools.reduce(op, vals)
         if expr.func is sp.Heaviside:
-            xv = self.eval(expr.args[0])
-            h0 = self.eval(expr.args[1]) if len(expr.args) > 1 else 0.5
+            xv = ad.unwrap(self.eval(expr.args[0]))
+            h0 = ad.unwrap(self.eval(expr.args[1])) if len(expr.args) > 1 else 0.5
             return _heaviside(xv, h0)
         if isinstance(expr, sp.Derivative):
             val = self.eval(expr.args[0])
@@ -154,18 +154,22 @@ class _Lowerer:
                 if cond is sp.true or cond == True:  # noqa: E712
                     result = v
                 else:
-                    c = self.eval(cond)
-                    result = v if result is None else jnp.where(c, v, result)
+                    c = ad.unwrap(self.eval(cond))
+                    result = v if result is None else jnp.where(c, ad.unwrap(v), ad.unwrap(result))
             return result
         if isinstance(expr, sp.Function):
             fname = str(expr.func)
             if fname == DETACH_FUNC_NAME:
-                return jax.lax.stop_gradient(self.eval(expr.args[0]))
+                return ad.stop_gradient(self.eval(expr.args[0]))
             if isinstance(expr.func, sp.core.function.UndefinedFunction):
                 # model output / named field: u(x, y) -> out["u"]
                 return self._lookup(fname)
             if expr.func in _FUNC_MAP:
-                return _FUNC_MAP[expr.func](*[self.eval(a) for a in expr.args])
+                fn = _FUNC_MAP[expr.func]
+                args = [self.eval(a) for a in expr.args]
+                if len(args) == 1 and isinstance(args[0], ad.TapeArray):
+                    return args[0]._unary(fn)  # keep differentiable
+                return fn(*[ad.unwrap(a) for a in args])
             raise NotImplementedError(f"sympy function {expr.func} not lowered yet")
         if isinstance(expr, sp.Add):
             vals = [self.eval(a) for a in expr.args]

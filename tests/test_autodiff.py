@@ -162,3 +162,59 @@ def test_hessian_rejects_unregistered_xs():
             ad.hessian(out["u"], bogus)
         h = ad.hessian(out["u"], out["x"])  # registered coord still works
     assert h.shape == (8, 1)
+
+
+def test_composed_expression_jacobian():
+    """TapeArray path: jacobian of composed expressions like d(rho*u)/dx
+    (reference supports this via paddle.grad's dynamic graph)."""
+    model = psci.arch.MLP(("x", "y"), ("u", "rho"), 2, 12)
+    n = 8
+    xv = np.random.rand(n, 2).astype(np.float32)
+    inp = {"x": jnp.asarray(xv[:, :1]), "y": jnp.asarray(xv[:, 1:])}
+
+    def residual(out):
+        # d(rho*u)/dx  must equal  rho*du/dx + u*drho/dx (product rule)
+        lhs = ad.jacobian(out["rho"] * out["u"], out["x"])
+        rhs = out["rho"] * ad.jacobian(out["u"], out["x"]) + out["u"] * ad.jacobian(out["rho"], out["x"])
+        return lhs, rhs
+
+    res = expression.evaluate_expressions([model], inp, {"pair": residual})
+    lhs, rhs = res["pair"]
+    np.testing.assert_allclose(np.asarray(ad.unwrap(lhs)), np.asarray(ad.unwrap(rhs)), rtol=2e-5, atol=2e-6)
+
+
+def test_composed_second_derivative_and_weighting():
+    """Second derivative of a composition + division by a tracked weight."""
+    model = psci.arch.MLP(("x",), ("u",), 2, 12)
+    x = jnp.asarray(np.linspace(0.1, 1.0, 8, dtype=np.float32).reshape(-1, 1))
+
+    def resid(out):
+        u, xx = out["u"], out["x"]
+        # d2(u^2)/dx2 = 2*u*u_xx + 2*u_x^2
+        lhs = ad.jacobian(ad.jacobian(u * u, xx), xx)
+        u_x = ad.jacobian(u, xx)
+        u_xx = ad.jacobian(u_x, xx)
+        rhs = 2.0 * u * u_xx + 2.0 * u_x * u_x
+        lam = abs(u_x) + 1.0  # tracked weighting like PINN-WE
+        return ad.unwrap(lhs / lam), ad.unwrap(rhs / lam)
+
+    res = expression.evaluate_expressions([model], {"x": x}, {"pair": resid})
+    lhs, rhs = res["pair"]
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), rtol=2e-4, atol=2e-5)
+
+
+def test_coord_times_output_jacobian():
+    """d(x*u)/dx = u + x*u_x (coords are tracked in single-stack constraints)."""
+    model = psci.arch.MLP(("x", "y"), ("u",), 2, 12)
+    n = 8
+    xv = np.random.rand(n, 2).astype(np.float32) + 0.1
+    inp = {"x": jnp.asarray(xv[:, :1]), "y": jnp.asarray(xv[:, 1:])}
+
+    def resid(out):
+        lhs = ad.jacobian(out["x"] * out["u"], out["x"])
+        rhs = out["u"] + out["x"] * ad.jacobian(out["u"], out["x"])
+        return ad.unwrap(lhs), ad.unwrap(rhs)
+
+    res = expression.evaluate_expressions([model], inp, {"pair": resid})
+    lhs, rhs = res["pair"]
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), rtol=2e-5, atol=2e-6)
