@@ -1,0 +1,60 @@
+"""2-D Darcy flow PINN with manufactured solution (reference
+``examples/darcy/darcy2d.py``).
+
+Poisson -lap(p) = f with f(x, y) = 8 pi^2 sin(2 pi x) cos(2 pi y) so the
+exact solution is p = sin(2 pi x) cos(2 pi y); Dirichlet BC from the exact
+field. Exercises sympy source terms (the label is an expression of the
+coordinates, not a constant) and GeometryValidator L2Rel against the
+analytic solution.
+"""
+
+import sys
+
+import numpy as np
+
+import paddlescience_tpu as psci
+
+
+def p_exact(x, y):
+    return np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y)
+
+
+def build_solver(epochs=40, output_dir="./output_darcy2d"):
+    psci.utils.set_random_seed(42)
+    # random Fourier features: the 2pi-periodic target is high-frequency
+    model = psci.arch.MLP(("x", "y"), ("p",), 5, 64, fourier={"dim": 128, "scale": 2.0})
+    equation = {"Poisson": psci.equation.Poisson(2)}
+    geom = psci.geometry.Rectangle((0.0, 0.0), (1.0, 1.0))
+
+    cfg = {"dataset": "IterableNamedArrayDataset", "iters_per_epoch": 25}
+    interior = psci.constraint.InteriorConstraint(
+        equation["Poisson"].equations,
+        {"poisson": lambda d: -8.0 * np.pi**2 * np.sin(2 * np.pi * d["x"]) * np.cos(2 * np.pi * d["y"])},
+        geom, {**cfg, "batch_size": 2048}, psci.loss.MSELoss("mean"), name="EQ")
+    bc = psci.constraint.BoundaryConstraint(
+        {"p": lambda out: out["p"]},
+        {"p": lambda d: p_exact(d["x"], d["y"])},
+        geom, {**cfg, "batch_size": 512}, psci.loss.MSELoss("mean"), name="BC")
+
+    validator = psci.validate.GeometryValidator(
+        {"p": lambda out: out["p"]},
+        {"p": lambda d: p_exact(d["x"], d["y"])},
+        geom, {"dataset": "NamedArrayDataset", "total_size": 4096, "batch_size": 4096},
+        psci.loss.MSELoss("mean"), metric={"L2Rel": psci.metric.L2Rel()}, name="L2Rel_Metric")
+
+    lr = psci.optimizer.lr_scheduler.OneCycleLR(
+        epochs=epochs, iters_per_epoch=25, max_learning_rate=1e-3)()
+    return psci.solver.Solver(
+        model, {"EQ": interior, "BC": bc}, output_dir,
+        psci.optimizer.Adam(lr)(model),
+        epochs=epochs, iters_per_epoch=25, equation=equation,
+        validator={"L2Rel_Metric": validator}, eval_during_train=False, log_freq=200)
+
+
+if __name__ == "__main__":
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    solver = build_solver(epochs=epochs)
+    solver.train()
+    loss, metrics = solver.eval()
+    print("darcy2d eval:",
+          {f"{g}.{k}": float(np.asarray(v).mean()) for g, kv in metrics.items() for k, v in kv.items()})

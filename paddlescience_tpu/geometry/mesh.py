@@ -101,27 +101,41 @@ class Mesh(geometry.Geometry):
         """Accept a pymesh-like object exposing .vertices/.faces."""
         return cls((np.asarray(mesh.vertices), np.asarray(mesh.faces)))
 
-    # -- inside test via ray casting (Möller-Trumbore, chunked) -----------------
+    # -- inside test via ray casting (chunked) -----------------------------------
     def _ray_hits(self, points: np.ndarray, direction: np.ndarray) -> np.ndarray:
-        """Count ray-triangle intersections per point along `direction`."""
-        eps = 1e-9
-        d = direction / np.linalg.norm(direction)
+        """Count ray-triangle intersections per point along `direction`.
+
+        Rotates the frame so the ray is the +z axis, then the test is a 2-D
+        barycentric point-in-triangle plus a depth comparison — only (P, F)
+        temporaries and matmul-free scalar math (the naive Möller-Trumbore
+        needs (P, F, 3) cross products, ~10x the memory traffic)."""
+        eps = 1e-12
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        # rotation taking d -> +z (Gram-Schmidt around d)
+        a = np.array([1.0, 0.0, 0.0]) if abs(d[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+        u_ax = np.cross(d, a)
+        u_ax /= np.linalg.norm(u_ax)
+        v_ax = np.cross(d, u_ax)
+        R = np.stack([u_ax, v_ax, d])  # (3, 3): rows are the new axes
+        p_r = np.asarray(points, np.float64) @ R.T
+        A = self.v0.astype(np.float64) @ R.T
+        B = self.v1.astype(np.float64) @ R.T
+        C = self.v2.astype(np.float64) @ R.T
+        denom = (B[:, 1] - C[:, 1]) * (A[:, 0] - C[:, 0]) + (C[:, 0] - B[:, 0]) * (A[:, 1] - C[:, 1])
+        ok = np.abs(denom) > eps
+        inv = np.where(ok, 1.0 / np.where(ok, denom, 1.0), 0.0)
         counts = np.zeros(len(points), np.int64)
-        e1 = self.v1 - self.v0  # (F, 3)
-        e2 = self.v2 - self.v0
-        pvec = np.cross(d, e2)  # (F, 3)
-        det = np.einsum("fj,fj->f", e1, pvec)
-        ok = np.abs(det) > eps
-        inv_det = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
-        chunk = max(int(2e7 // max(len(self.faces), 1)), 1)
-        for lo in range(0, len(points), chunk):
-            p = points[lo : lo + chunk]  # (P, 3)
-            tvec = p[:, None, :] - self.v0[None, :, :]  # (P, F, 3)
-            u = np.einsum("pfj,fj->pf", tvec, pvec) * inv_det
-            qvec = np.cross(tvec, e1[None])  # (P, F, 3)
-            v = np.einsum("pfj,j->pf", qvec, d) * inv_det
-            t = np.einsum("pfj,fj->pf", qvec, e2) * inv_det
-            hit = ok[None] & (u >= -eps) & (v >= -eps) & (u + v <= 1 + eps) & (t > eps)
+        chunk = max(int(4e6 // max(len(self.faces), 1)), 1)
+        for lo in range(0, len(p_r), chunk):
+            px = p_r[lo : lo + chunk, 0:1]  # (P, 1)
+            py = p_r[lo : lo + chunk, 1:2]
+            pz = p_r[lo : lo + chunk, 2:3]
+            w1 = ((B[:, 1] - C[:, 1]) * (px - C[:, 0]) + (C[:, 0] - B[:, 0]) * (py - C[:, 1])) * inv
+            w2 = ((C[:, 1] - A[:, 1]) * (px - C[:, 0]) + (A[:, 0] - C[:, 0]) * (py - C[:, 1])) * inv
+            w3 = 1.0 - w1 - w2
+            zhit = w1 * A[:, 2] + w2 * B[:, 2] + w3 * C[:, 2]
+            hit = ok & (w1 >= -1e-9) & (w2 >= -1e-9) & (w3 >= -1e-9) & (zhit > pz + 1e-9)
             counts[lo : lo + chunk] = hit.sum(axis=1)
         return counts
 
@@ -138,10 +152,11 @@ class Mesh(geometry.Geometry):
     def random_points(self, n: int, random: str = "pseudo") -> np.ndarray:
         out = np.empty((n, 3), _DTYPE)
         size = 0
-        lo, hi = self.bbox[0][0], self.bbox[1][0]
-        tries = 0
+        lo = np.asarray(self.bbox[0], np.float64)  # per-axis bounds: a
+        hi = np.asarray(self.bbox[1], np.float64)  # non-cubic bbox must not
+        tries = 0                                  # collapse to the x-range
         while size < n:
-            cand = np.random.uniform(lo, hi, size=(max(n, 256), 3))
+            cand = np.random.uniform(size=(max(n, 256), 3)) * (hi - lo) + lo
             cand = cand[self.is_inside(cand)]
             take = min(len(cand), n - size)
             out[size : size + take] = cand[:take]
@@ -200,30 +215,31 @@ class Mesh(geometry.Geometry):
         c = np.einsum("fj,fj->f", e2, e2)
         det = a * c - b * b
         det = np.where(det <= 0, 1e-30, det)
+        # expand |v0 + s*e1 + t*e2 - p|^2 into (P, F) matmuls: all heavy work
+        # becomes BLAS GEMMs instead of (P, F, 3) elementwise temporaries
+        v0 = self.v0.astype(np.float64)
+        v0e1 = np.einsum("fj,fj->f", v0, e1)
+        v0e2 = np.einsum("fj,fj->f", v0, e2)
+        v0v0 = np.einsum("fj,fj->f", v0, v0)
         out = np.empty(len(p))
-        chunk = max(int(2e7 // max(len(self.faces), 1)), 1)
+        chunk = max(int(4e6 // max(len(self.faces), 1)), 1)
         for lo in range(0, len(p), chunk):
-            pp = p[lo : lo + chunk]
-            dvec = self.v0[None].astype(np.float64) - pp[:, None, :]  # (P, F, 3)
-            d_ = np.einsum("pfj,fj->pf", dvec, e1)
-            e_ = np.einsum("pfj,fj->pf", dvec, e2)
-            s = (b * e_ - c * d_) / det
-            t = (b * d_ - a * e_) / det
-            s = np.clip(s, 0, 1)
-            t = np.clip(t, 0, 1)
-            # clamp to triangle s + t <= 1 (project back)
+            pp = p[lo : lo + chunk]  # (P, 3)
+            pe1 = pp @ e1.T  # (P, F)
+            pe2 = pp @ e2.T
+            pv0 = pp @ v0.T
+            d_ = v0e1[None] - pe1  # dvec . e1 with dvec = v0 - p
+            e_ = v0e2[None] - pe2
+            s = np.clip((b * e_ - c * d_) / det, 0, 1)
+            t = np.clip((b * d_ - a * e_) / det, 0, 1)
             over = s + t > 1
             if over.any():
-                ss, tt = s[over], t[over]
-                total = ss + tt
-                s[over], t[over] = ss / total, tt / total
-            closest = (
-                self.v0[None].astype(np.float64)
-                + s[..., None] * e1[None]
-                + t[..., None] * e2[None]
-            )
-            dist = np.linalg.norm(closest - pp[:, None, :], axis=-1)
-            out[lo : lo + chunk] = dist.min(axis=1)
+                total = (s + t)[over]
+                s[over] /= total
+                t[over] /= total
+            dd = v0v0[None] - 2 * pv0 + np.einsum("pj,pj->p", pp, pp)[:, None]
+            dist2 = dd + 2 * s * d_ + 2 * t * e_ + s * s * a + 2 * s * t * b + t * t * c
+            out[lo : lo + chunk] = np.sqrt(np.maximum(dist2.min(axis=1), 0.0))
         return out
 
     def sdf_func(self, points: np.ndarray) -> np.ndarray:

@@ -120,3 +120,42 @@ def test_mesh_cube():
     np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
     sdf = mesh.sdf_func(np.array([[0.5, 0.5, 0.5], [2.0, 0.5, 0.5]]))
     np.testing.assert_allclose(sdf.flatten(), [-0.5, 1.0], atol=1e-6)
+
+
+def test_mesh_interior_covers_noncubic_bbox():
+    """Regression: random_points once sampled every axis from the x-range,
+    so elongated meshes (tube along z in [0, 2]) only got z<0.45 points."""
+    import os
+    import struct
+
+    # slim box 0.4 x 0.4 x 2.0 as binary STL
+    lo_xy, hi_xy, hz = -0.2, 0.2, 2.0
+    corners = np.array([[x, y, z] for z in (0, hz) for y in (lo_xy, hi_xy) for x in (lo_xy, hi_xy)])
+    quads = [  # (a,b,c,d) with outward normals
+        (0, 2, 3, 1), (4, 5, 7, 6), (0, 1, 5, 4), (2, 6, 7, 3), (0, 4, 6, 2), (1, 3, 7, 5)]
+    tris = []
+    for a, b, c, d in quads:
+        tris.append((corners[a], corners[b], corners[c]))
+        tris.append((corners[a], corners[c], corners[d]))
+    path = "/tmp/test_slim_box.stl"
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(tris)))
+        for a, b, c in tris:
+            n = np.cross(b - a, c - a)
+            n = n / (np.linalg.norm(n) + 1e-12)
+            f.write(struct.pack("<3f", *n))
+            for v in (a, b, c):
+                f.write(struct.pack("<3f", *v))
+            f.write(struct.pack("<H", 0))
+
+    mesh = psci.geometry.Mesh.from_stl(path)
+    pts = mesh.random_points(256)
+    assert pts[:, 2].max() > 1.5, f"z coverage broken: max z {pts[:, 2].max()}"
+    assert pts[:, 2].min() < 0.5
+    # every sampled point is inside -> sdf negative
+    assert (mesh.sdf_func(pts) < 0).all()
+    # boundary points sit on the surface
+    b = mesh.random_boundary_points(64)
+    assert np.abs(mesh.sdf_func(b)).max() < 1e-5
+    os.remove(path)
