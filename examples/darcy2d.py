@@ -5,7 +5,8 @@ Poisson -lap(p) = f with f(x, y) = 8 pi^2 sin(2 pi x) cos(2 pi y) so the
 exact solution is p = sin(2 pi x) cos(2 pi y); Dirichlet BC from the exact
 field. Exercises sympy source terms (the label is an expression of the
 coordinates, not a constant) and GeometryValidator L2Rel against the
-analytic solution.
+analytic solution. Measured: L2Rel 0.215 @ 1k steps, 0.0317 @ 5k steps on
+one v5e chip (python examples/darcy2d.py 200).
 """
 
 import sys

@@ -356,6 +356,23 @@ class Solver:
 
         return jax.jit(scanned, donate_argnums=(0,))
 
+    def _build_scanned_train_step_static(self, num_fused_steps: int, batches):
+        """Scan variant with a fixed host batch closed over (no (K, ...)
+        stacked operand): right when every constraint either samples on
+        device (DeviceSampledDataset) or trains on a static full batch —
+        avoids materializing a K-times-broadcast copy of the batch in HBM."""
+        self._build_train_step()
+        inner = self._raw_step_fn
+
+        def scanned(state):
+            def body(s, _):
+                return inner(s, batches)
+
+            state, logs = jax.lax.scan(body, state, None, length=num_fused_steps)
+            return state, jax.tree.map(lambda x: x[-1], logs)
+
+        return jax.jit(scanned, donate_argnums=(0,))
+
     def _build_lbfgs_step(self):
         """L-BFGS with zoom line search — value_and_grad threaded through opt
         state (reference train.py:216-319 closure pattern)."""
