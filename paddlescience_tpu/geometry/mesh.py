@@ -122,6 +122,11 @@ class Mesh(geometry.Geometry):
         A = self.v0.astype(np.float64) @ R.T
         B = self.v1.astype(np.float64) @ R.T
         C = self.v2.astype(np.float64) @ R.T
+        from paddlescience_tpu import native
+
+        if native.available():
+            tri9 = np.concatenate([A, B, C], axis=1)  # (F, 9)
+            return native.ray_hits_z(tri9, p_r)
         denom = (B[:, 1] - C[:, 1]) * (A[:, 0] - C[:, 0]) + (C[:, 0] - B[:, 0]) * (A[:, 1] - C[:, 1])
         ok = np.abs(denom) > eps
         inv = np.where(ok, 1.0 / np.where(ok, denom, 1.0), 0.0)
@@ -215,6 +220,13 @@ class Mesh(geometry.Geometry):
         c = np.einsum("fj,fj->f", e2, e2)
         det = a * c - b * b
         det = np.where(det <= 0, 1e-30, det)
+        from paddlescience_tpu import native
+
+        if native.available():
+            tri9 = np.concatenate(
+                [self.v0, self.v1, self.v2], axis=1
+            ).astype(np.float64)
+            return native.unsigned_distance(tri9, p)
         # expand |v0 + s*e1 + t*e2 - p|^2 into (P, F) matmuls: all heavy work
         # becomes BLAS GEMMs instead of (P, F, 3) elementwise temporaries
         v0 = self.v0.astype(np.float64)

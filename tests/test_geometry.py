@@ -159,3 +159,31 @@ def test_mesh_interior_covers_noncubic_bbox():
     b = mesh.random_boundary_points(64)
     assert np.abs(mesh.sdf_func(b)).max() < 1e-5
     os.remove(path)
+
+
+def test_native_mesh_kernels_parity():
+    """C++ mesh kernels (ctypes) match the numpy fallback bit-for-bit-ish."""
+    from paddlescience_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native mesh kernels not built (no g++)")
+
+    # reuse a simple tetra mesh
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]])
+    mesh = psci.geometry.Mesh((verts, faces))
+    pts = np.random.default_rng(0).uniform(-0.2, 1.0, (512, 3))
+
+    d_native = mesh._unsigned_distance(pts)
+    in_native = mesh.is_inside(pts)
+    lib = native.mesh_lib
+    try:
+        native.mesh_lib = None  # force numpy fallback
+        d_numpy = mesh._unsigned_distance(pts)
+        in_numpy = mesh.is_inside(pts)
+    finally:
+        native.mesh_lib = lib
+    np.testing.assert_allclose(d_native, d_numpy, rtol=1e-12, atol=1e-12)
+    assert (in_native == in_numpy).all()
