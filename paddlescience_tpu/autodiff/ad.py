@@ -517,7 +517,9 @@ def _tracked_jacobian(tape: Tape, ys: TapeArray, xs, i: int, j: Optional[int]) -
     def dpf(xvec, extras, _f=f, _col=col, _d=d, _i=i):
         tangent = jnp.zeros((_d,)).at[_col].set(1.0)
         res = jax.jvp(lambda v: _f(v, extras), (xvec,), (tangent,))[1]
-        return res[_i : _i + 1] if _i else res
+        # always slice one column — returning all columns for i=0 on a
+        # multi-column output would broadcast inconsistently (ADVICE r1)
+        return res[_i : _i + 1]
 
     val = jax.vmap(dpf)(stack.x, stack.extras)
     return TapeArray(val, dpf, stack)

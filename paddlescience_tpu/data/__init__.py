@@ -156,10 +156,18 @@ class BatchLoader:
         if mode == "device":
             raise TypeError("DeviceSampledDataset has no host loader; the solver samples it in-step")
 
-        rng = np.random.default_rng(self.seed + self.rank)
         n = len(self.dataset)
+        epoch = 0
         while True:
-            idx = rng.permutation(n) if self.shuffle else np.arange(n)
+            # ALL ranks must draw the same permutation (seeded by seed+epoch,
+            # not by rank) so the rank-strided shards below partition the
+            # dataset; per-rank seeds would overlap and omit samples
+            # (reference DistributedBatchSampler semantics; ADVICE r1).
+            if self.shuffle:
+                idx = np.random.default_rng(self.seed + epoch).permutation(n)
+            else:
+                idx = np.arange(n)
+            epoch += 1
             idx = idx[self.rank :: self.num_replicas]  # per-process shard
             n_local = len(idx)
             nb = n_local // self.batch_size if self.drop_last else -(-n_local // self.batch_size)

@@ -137,35 +137,39 @@ class Geometry(abc.ABC):
             getattr(self, "geometry", None)
         ) in ("Mesh", "SDFMesh")
         normal = area = None
-        while _size < n:
+        if is_mesh_time:
+            # TimeXGeometry over a mesh returns an exactly-n aligned
+            # (points, normals, areas) triple with criteria applied inside
+            # (spatial-only criteria, t fixed to None) — no outer rejection
+            # loop, which would decouple normals/areas from the points.
             if evenly:
-                if is_mesh_time:
-                    points, normal, area = self.uniform_boundary_points(n)
-                else:
-                    points = self.uniform_boundary_points(n)
+                x, normal, area = self.uniform_boundary_points(n)
             else:
-                if is_mesh_time:
-                    points, normal, area = self.random_boundary_points(n, random)
+                x, normal, area = self.random_boundary_points(n, random, criteria)
+        else:
+            while _size < n:
+                if evenly:
+                    points = self.uniform_boundary_points(n)
                 elif misc.typename(self) == "TimeXGeometry":
                     points = self.random_boundary_points(n, random, criteria)
                 else:
                     points = self.random_boundary_points(n, random)
 
-            if criteria is not None:
-                criteria_mask = criteria(*np.split(points, self.ndim, axis=1)).flatten()
-                points = points[criteria_mask]
+                if criteria is not None:
+                    criteria_mask = criteria(*np.split(points, self.ndim, axis=1)).flatten()
+                    points = points[criteria_mask]
 
-            if len(points) > n - _size:
-                points = points[: n - _size]
-            x[_size : _size + len(points)] = points
-            _size += len(points)
-            _ntry += 1
-            if len(points) > 0:
-                _nsuc += 1
-            if _ntry >= 10000 and _nsuc == 0:
-                raise ValueError(
-                    "Sample boundary points failed, please check correctness of geometry and given criteria."
-                )
+                if len(points) > n - _size:
+                    points = points[: n - _size]
+                x[_size : _size + len(points)] = points
+                _size += len(points)
+                _ntry += 1
+                if len(points) > 0:
+                    _nsuc += 1
+                if _ntry >= 10000 and _nsuc == 0:
+                    raise ValueError(
+                        "Sample boundary points failed, please check correctness of geometry and given criteria."
+                    )
 
         if not is_mesh_time:
             normal = self.boundary_normal(x)

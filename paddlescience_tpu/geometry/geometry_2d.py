@@ -140,7 +140,7 @@ class Triangle(geometry.Geometry):
         self.n23_normal = clockwise_rotation_90(self.n23)
         self.n31_normal = clockwise_rotation_90(self.n31)
         self.perimeter = self.l12 + self.l23 + self.l31
-        self.area = 0.5 * abs(float(np.cross(self.v12, -self.v31)))
+        self.area = 0.5 * abs(float(_cross2(self.v12, -self.v31)))
         xmin = np.minimum(np.minimum(self.x1, self.x2), self.x3)
         xmax = np.maximum(np.maximum(self.x1, self.x2), self.x3)
         super().__init__(
@@ -151,9 +151,9 @@ class Triangle(geometry.Geometry):
 
     def is_inside(self, x: np.ndarray) -> np.ndarray:
         # consistent-sign cross products vs all edges
-        c1 = np.cross(self.v12, x - self.x1)
-        c2 = np.cross(self.v23, x - self.x2)
-        c3 = np.cross(self.v31, x - self.x3)
+        c1 = _cross2(self.v12, x - self.x1)
+        c2 = _cross2(self.v23, x - self.x2)
+        c3 = _cross2(self.v31, x - self.x3)
         return ((c1 >= 0) & (c2 >= 0) & (c3 >= 0)) | ((c1 <= 0) & (c2 <= 0) & (c3 <= 0))
 
     def on_boundary(self, x: np.ndarray) -> np.ndarray:
@@ -307,6 +307,14 @@ def polygon_signed_area(vertices: np.ndarray) -> float:
     """Shoelace formula; positive for CCW (reference geometry_2d.py:660)."""
     x, y = vertices[:, 0], vertices[:, 1]
     return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _cross2(a, b):
+    """z-component of the 2-D cross product (np.cross on 2-vectors is
+    deprecated since NumPy 2.0)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
 
 
 def clockwise_rotation_90(v: np.ndarray) -> np.ndarray:

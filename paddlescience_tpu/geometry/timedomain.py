@@ -129,41 +129,111 @@ class TimeXGeometry(geometry.Geometry):
         tx = np.vstack([np.hstack((np.full([nx, 1], ti, dtype=_DTYPE), x)) for ti in t])
         return tx[:n] if len(tx) > n else tx
 
-    def random_boundary_points(self, n: int, random: str = "pseudo", criteria: Optional[Callable] = None) -> np.ndarray:
-        if self.timedomain.time_step is not None or self.timedomain.timestamps is not None:
-            if self.timedomain.time_step is not None:
-                nt = int(np.ceil(self.timedomain.diam / self.timedomain.time_step))
-                t = np.linspace(
-                    self.timedomain.t1, self.timedomain.t0, num=nt, endpoint=False, dtype=_DTYPE
-                )[::-1]
-            else:
-                t = self.timedomain.timestamps[1:]
-                nt = len(t)
-            nx = int(np.ceil(n / nt))
-            x = np.empty((nx, self.geometry.ndim), dtype=_DTYPE)
-            _size, _ntry, _nsuc = 0, 0, 0
-            while _size < nx:
-                _x = self.geometry.random_boundary_points(nx, random)
-                if criteria is not None:
-                    mask = criteria(None, *np.split(_x, self.geometry.ndim, axis=1)).flatten()
-                    _x = _x[mask]
-                if len(_x) > nx - _size:
-                    _x = _x[: nx - _size]
-                x[_size : _size + len(_x)] = _x
-                _size += len(_x)
-                _ntry += 1
-                if len(_x) > 0:
-                    _nsuc += 1
-                if _ntry >= 10000 and _nsuc == 0:
-                    raise ValueError("Sample boundary points failed.")
-            tx = np.vstack(
-                [np.hstack((np.full([nx, 1], ti, dtype=_DTYPE), x)) for ti in t]
-            )
-            return tx[:n] if len(tx) > n else tx
+    def _is_mesh(self) -> bool:
+        return misc.typename(self.geometry) in ("Mesh", "SDFMesh")
 
-        x = self.geometry.random_boundary_points(n, random=random)
+    def _mesh_surface_sample(self, nx: int, criteria: Optional[Callable]):
+        """Exactly-nx (points, normals, areas), criteria-filtered with all
+        three kept aligned (ADVICE r1: the reference returns a triple for
+        mesh geometries, ``ppsci/geometry/timedomain.py:605-622``)."""
+        geom = self.geometry
+        x = np.empty((nx, geom.ndim), dtype=_DTYPE)
+        nrm = np.empty((nx, geom.ndim), dtype=_DTYPE)
+        ar = np.empty((nx, 1), dtype=_DTYPE)
+        _size, _ntry, _nsuc = 0, 0, 0
+        while _size < nx:
+            _x, _n, _a = geom._sample_surface(nx)
+            if criteria is not None:
+                mask = criteria(None, *np.split(_x, geom.ndim, axis=1)).flatten()
+                _x, _n, _a = _x[mask], _n[mask], _a[mask]
+            take = min(len(_x), nx - _size)
+            x[_size : _size + take] = _x[:take]
+            nrm[_size : _size + take] = _n[:take]
+            ar[_size : _size + take] = _a[:take]
+            _size += take
+            _ntry += 1
+            if take > 0:
+                _nsuc += 1
+            if _ntry >= 10000 and _nsuc == 0:
+                raise ValueError("Sample boundary points failed.")
+        return x, nrm, ar
+
+    def _boundary_time_grid(self):
+        """Timestamps for the fixed-time-grid boundary sampling branch."""
+        if self.timedomain.time_step is not None:
+            nt = int(np.ceil(self.timedomain.diam / self.timedomain.time_step))
+            t = np.linspace(
+                self.timedomain.t1, self.timedomain.t0, num=nt, endpoint=False, dtype=_DTYPE
+            )[::-1]
+        else:
+            t = self.timedomain.timestamps[1:]
+        return t
+
+    def random_boundary_points(self, n: int, random: str = "pseudo", criteria: Optional[Callable] = None):
+        """Boundary points over time. For Mesh/SDFMesh spatial geometries
+        returns an aligned (points, normals, areas) triple — all with a
+        leading time column, which ``Geometry.sample_boundary`` strips —
+        matching the reference contract (``timedomain.py:498-622``)."""
+        is_mesh = self._is_mesh()
+        if self.timedomain.time_step is not None or self.timedomain.timestamps is not None:
+            t = self._boundary_time_grid()
+            nt = len(t)
+            nx = int(np.ceil(n / nt))
+            if is_mesh:
+                x, nrm, ar = self._mesh_surface_sample(nx, criteria)
+            else:
+                x = np.empty((nx, self.geometry.ndim), dtype=_DTYPE)
+                _size, _ntry, _nsuc = 0, 0, 0
+                while _size < nx:
+                    _x = self.geometry.random_boundary_points(nx, random)
+                    if criteria is not None:
+                        mask = criteria(None, *np.split(_x, self.geometry.ndim, axis=1)).flatten()
+                        _x = _x[mask]
+                    if len(_x) > nx - _size:
+                        _x = _x[: nx - _size]
+                    x[_size : _size + len(_x)] = _x
+                    _size += len(_x)
+                    _ntry += 1
+                    if len(_x) > 0:
+                        _nsuc += 1
+                    if _ntry >= 10000 and _nsuc == 0:
+                        raise ValueError("Sample boundary points failed.")
+            def _tile(arr):
+                return np.vstack(
+                    [np.hstack((np.full([len(arr), 1], ti, dtype=_DTYPE), arr)) for ti in t]
+                )[:n]
+            if is_mesh:
+                return _tile(x), _tile(nrm), _tile(ar)
+            tx = _tile(x)
+            return tx
+
         t = np.random.permutation(self.timedomain.random_points(n, random=random))
+        if is_mesh:
+            x, nrm, ar = self._mesh_surface_sample(n, criteria)
+            return (
+                np.hstack((t, x)),
+                np.hstack((np.zeros_like(t), nrm)),
+                np.hstack((np.zeros_like(t), ar)),
+            )
+        x = self.geometry.random_boundary_points(n, random=random)
         return np.hstack((t, x))
+
+    def uniform_boundary_points(self, n: int):
+        """Uniform time grid x spatial boundary. For mesh spatial geometries
+        there is no uniform surface sampler; area-weighted random surface
+        sampling is used per timestamp (triple return, as above)."""
+        nt = self.timedomain.num_timestamps if self.timedomain.time_step else int(np.ceil(np.sqrt(n)))
+        nx = int(np.ceil(n / nt))
+        t = np.linspace(self.timedomain.t0, self.timedomain.t1, nt, dtype=_DTYPE)
+        def _tile(arr):
+            return np.vstack(
+                [np.hstack((np.full([len(arr), 1], ti, dtype=_DTYPE), arr)) for ti in t]
+            )[:n]
+        if self._is_mesh():
+            x, nrm, ar = self._mesh_surface_sample(nx, None)
+            return _tile(x), _tile(nrm), _tile(ar)
+        x = self.geometry.uniform_boundary_points(nx)
+        return _tile(x)
 
     def uniform_initial_points(self, n: int) -> np.ndarray:
         x = self.geometry.uniform_points(n, True)

@@ -63,14 +63,20 @@ class LRBase:
         return step // self.iters_per_epoch if self.by_epoch else step
 
     def _wrap_warmup(self, base: Schedule) -> Schedule:
+        """Linear warmup, then `base` evaluated on the REBASED clock
+        (step - warmup): the decay counter starts after warmup ends,
+        matching the reference's LinearWarmup semantics
+        (``ppsci/optimizer/lr_scheduler.py:41-120``; ADVICE r1)."""
         if self.warmup_steps <= 0:
             return base
         ws, start, end = self.warmup_steps, self.warmup_start_lr, self.learning_rate
+        # raw-step offset equivalent to ws schedule-time units
+        shift = ws * self.iters_per_epoch if self.by_epoch else ws
 
         def sched(step):
             t = self._t(step)
             warm = start + (end - start) * jnp.minimum(t / ws, 1.0)
-            return jnp.where(t < ws, warm, base(step))
+            return jnp.where(t < ws, warm, base(jnp.maximum(step - shift, 0)))
 
         return sched
 
@@ -146,11 +152,11 @@ class Cosine(LRBase):
         self.eta_min = eta_min
 
     def get_lr_fn(self):
+        # no warmup subtraction here: _wrap_warmup rebases the clock
         lr0, eta_min, T = self.learning_rate, self.eta_min, max(self.T_max, 1)
-        warm = self.warmup_steps
 
         def sched(step):
-            t = jnp.clip(self._t(step) - warm, 0, T)
+            t = jnp.clip(self._t(step), 0, T)
             return eta_min + 0.5 * (lr0 - eta_min) * (1 + jnp.cos(jnp.pi * t / T))
 
         return sched
@@ -262,7 +268,6 @@ class ExponentialDecay(LRBase):
         super().__init__(epochs, iters_per_epoch, learning_rate, warmup_epoch, warmup_start_lr, last_epoch, by_epoch)
         self.decay_steps = decay_steps / iters_per_epoch if by_epoch else decay_steps
         self.gamma = gamma
-        self.warmup_steps = round(self.warmup_epoch * iters_per_epoch)
 
     def get_lr_fn(self):
         lr0, g, ds = self.learning_rate, self.gamma, self.decay_steps

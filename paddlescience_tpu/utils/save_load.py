@@ -77,8 +77,26 @@ def load_checkpoint(path: str, state_like: Optional[Dict[str, Any]] = None) -> D
 
 def load_pretrain(path: str, params_like=None):
     """Load only model params from a checkpoint directory (reference
-    save_load.py:84-130; URL download support lands with utils.download)."""
-    restored = load_checkpoint(path, None)
-    params = restored.get("params", restored)
+    save_load.py:84-130; URL download support lands with utils.download).
+
+    When `params_like` is given, restoration is validated against that
+    structure (orbax raises a structure/dtype mismatch at load time instead
+    of a confusing tracing error later; ADVICE r1)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"checkpoint not found: {path}")
+    ckptr = ocp.PyTreeCheckpointer()
+    if params_like is not None:
+        try:
+            restored = ckptr.restore(path, item={"params": _to_numpy_tree(params_like)})
+        except Exception:
+            # checkpoint may be a bare params tree (no 'params' key)
+            restored = ckptr.restore(path, item=_to_numpy_tree(params_like))
+    else:
+        restored = ckptr.restore(path)
+    restored.pop("_metric", None) if isinstance(restored, dict) else None
+    params = restored.get("params", restored) if isinstance(restored, dict) else restored
     logger.info(f"Finish loading pretrained params from: {path}")
     return params
