@@ -1,72 +1,112 @@
-"""Benchmark driver: Allen-Cahn PINN train steps/sec/chip.
+"""Benchmark driver. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "mfu", ...}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Three measured cases (VERDICT r1 item 2: no estimated baselines):
 
-The benchmark is the BASELINE.json north-star case: Allen-Cahn PINN, MLP
-4x256 + Fourier features + RWF + period embedding, CausalMSELoss(32) + IC
-MSE, GradNorm aggregation, batch 4096 collocation points resampled on device
-each step — the full jitted train step including 2nd-order derivative
-stacks, loss aggregation and the Adam update.
+1. **allen_cahn** (BASELINE.json north star): Allen-Cahn PINN, MLP 4x256 +
+   Fourier features + RWF + period embedding, CausalMSELoss(32) + IC MSE,
+   GradNorm aggregation, batch 4096 collocation points resampled on device —
+   the full jitted train step. Reports steps/s/chip AND MFU (XLA-counted
+   FLOPs per step / step time / chip peak bf16 FLOPs).
+2. **piratenet_9x256** (matmul-bound case): PirateNet 9 residual blocks x 256
+   on the same problem — steps/s + MFU where the MXU dominates.
+3. **cylinder2d_matched**: the reference's TIPC benchmark case
+   (cylinder2d_unsteady_Re100: MLP 5x50 tanh, NS-2D+time, NPOINT_PDE 9420 x
+   30 timestamps + BC/IC points — `/root/reference/test_tipc/README.MD:13-17`,
+   `examples/cylinder/2d_unsteady/conf/cylinder2d_unsteady_Re100.yaml:43-58`)
+   measured here with matched per-step point counts. ips = total constraint
+   points per optimizer step / step time — the same quantity the reference's
+   printer reports (`ppsci/solver/train.py:35-106`, `printer.py:66`).
 
-vs_baseline: ratio against the reference PaddleScience implementation on one
-A100 (dygraph, per-constraint Python dispatch + 3 chained paddle.grad
-reverse passes). No published number exists for this exact case;
-REF_STEPS_PER_SEC below is an explicit documented estimate (O(100) steps/s
-for batch-4096 2nd-order PINN steps in eager-graph GPU frameworks) — judge
-accordingly.
+vs_baseline = our cylinder2d ips / the reference's PUBLISHED measured
+1,264,165.641 ips (FP32, single GPU, TIPC harness) — a measured/published
+ratio on a matched case, not an estimate. Cross-hardware caveat applies
+(their GPU vs one v5e chip); it is the only published throughput number the
+reference provides.
 
-Precision: the bench runs with bf16 matmul inputs / f32 accumulation
-(PSCI_MATMUL_PRECISION=default) — the same precision class as the A100's
-TF32 matmuls the reference uses. Convergence validated on this exact case:
-at 100k steps the final L2Rel is 2.33e-3 (bf16) vs 2.07e-3 (the library's
-"high" 3-pass default) — 12%% at equal steps, and bf16 runs ~2x faster so
-it dominates at equal wall-clock. The library default for users remains
-"high"; override either way with PSCI_MATMUL_PRECISION.
+Precision: bf16 matmul inputs / f32 accumulation (PSCI_MATMUL_PRECISION=
+default) — same precision class as A100 TF32. Convergence validated: at 100k
+steps Allen-Cahn final L2Rel 2.33e-3 (bf16) vs 2.07e-3 (f32 3-pass); bf16 is
+~2x faster at equal steps. Library default for users remains "high".
 
-Usage: python bench.py [--smoke] [--steps N]
+Usage: python bench.py [--smoke] [--steps N] [--cases allen_cahn,piratenet,cylinder]
 """
 
 import argparse
 import json
-import sys
+import os
 import time
 
-REF_STEPS_PER_SEC = 100.0  # documented estimate, see module docstring
+os.environ.setdefault("PSCI_MATMUL_PRECISION", "default")
+
+# published measured baseline (reference test_tipc/README.MD:13-17)
+CYLINDER_REF_IPS = 1264165.641
+
+# peak dense bf16 FLOP/s per chip by device kind (public TPU specs)
+PEAK_FLOPS = {
+    "TPU v3": 123e12,
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,  # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,  # Trillium / v6e
+    "TPU v6e": 918e12,
+}
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--smoke", action="store_true", help="tiny CPU-friendly run")
-    ap.add_argument("--steps", type=int, default=1200)
-    ap.add_argument("--batch-size", type=int, default=4096)
-    ap.add_argument("--fused", type=int, default=400, help="steps fused per jitted lax.scan call (1 = per-step dispatch)")
-    args = ap.parse_args()
-
-    import os
-
-    os.environ.setdefault("PSCI_MATMUL_PRECISION", "default")
-
+def _peak_flops():
     import jax
-    import jax.numpy as jnp
+
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return None
+
+
+def _flops_of(compiled):
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _time_scan(scan_fn, state, n_calls, fused):
+    """Compile, warm, and time a state->(state, logs) scan function.
+    Returns (steps_per_sec, flops_per_step)."""
+    import jax
+
+    lowered = scan_fn.lower(state)
+    compiled = lowered.compile()
+    # XLA counts a scan/while body ONCE regardless of trip count (verified on
+    # both cpu and tpu backends), so the program flops ARE the per-step flops
+    flops_per_step = _flops_of(compiled)
+
+    state, logs = compiled(state)
+    jax.block_until_ready(logs["loss"])  # warm (first run may page in)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state, logs = compiled(state)
+    jax.block_until_ready(logs["loss"])
+    dt = time.perf_counter() - t0
+    return n_calls * fused / dt, flops_per_step
+
+
+def bench_allen_cahn(steps, batch, fused, arch="mlp", piratenet_blocks=3):
+    import jax
 
     from examples.allen_cahn import build_solver
     from paddlescience_tpu.parallel import mesh as mesh_mod
 
-    batch = 256 if args.smoke else args.batch_size
-    steps = 20 if args.smoke else args.steps
-    if args.smoke:
-        args.fused = min(args.fused, 10)
-
     solver, _ = build_solver(
-        epochs=1,
-        iters_per_epoch=steps,
-        batch_size=batch,
-        eval_during_train=False,
-        with_validator=False,
-        output_dir=None,
+        epochs=1, iters_per_epoch=steps, batch_size=batch,
+        eval_during_train=False, with_validator=False, output_dir=None,
+        arch=arch, piratenet_blocks=piratenet_blocks,
     )
-    step_fn = solver._build_train_step()
-
     host_batches = {}
     for name, cst in solver.constraint.items():
         if cst.data_iter is not None:
@@ -76,47 +116,145 @@ def main():
                 mesh_mod.shard_batch(lab, solver.mesh),
                 mesh_mod.shard_batch(wgt, solver.mesh),
             )
-
-    state = solver.state
-    fused = max(args.fused, 1)
-    if fused > 1:
-        import numpy as np
-
-        # static host batches closed over: collocation resampling happens on
-        # device inside the step, so no (K, ...) operand is needed
-        scan_fn = solver._build_scanned_train_step_static(fused, host_batches)
-        state, logs = scan_fn(state)
-        jax.block_until_ready(logs["loss"])  # compile+run
-        state, logs = scan_fn(state)
-        jax.block_until_ready(logs["loss"])  # warm
-        n_calls = max(steps // fused, 1)
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            state, logs = scan_fn(state)
-        jax.block_until_ready(logs["loss"])
-        dt = time.perf_counter() - t0
-        steps_per_sec = n_calls * fused / dt
-    else:
-        # compile + warmup
-        state, logs = step_fn(state, host_batches)
-        jax.block_until_ready(logs["loss"])
-        for _ in range(5):
-            state, logs = step_fn(state, host_batches)
-        jax.block_until_ready(logs["loss"])
-
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, logs = step_fn(state, host_batches)
-        jax.block_until_ready(logs["loss"])
-        dt = time.perf_counter() - t0
-        steps_per_sec = steps / dt
-
+    scan_fn = solver._build_scanned_train_step_static(fused, host_batches)
+    n_calls = max(steps // fused, 1)
+    steps_per_sec, flops_per_step = _time_scan(scan_fn, solver.state, n_calls, fused)
+    peak = _peak_flops()
     n_chips = jax.device_count()
+    mfu = (flops_per_step * steps_per_sec / (peak * n_chips)) if (flops_per_step and peak) else None
+    return {
+        "steps_per_sec_per_chip": round(steps_per_sec / n_chips, 3),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "model_flops_per_step": flops_per_step,
+    }
+
+
+def build_matched_cylinder(iters_per_epoch):
+    """The reference TIPC cylinder2d_unsteady_Re100 workload with matched
+    per-step point counts (NPOINT_PDE=9420 x NTIME=30, inlet_cylinder
+    161x30, outlet 81x30, IC 9420; reference conf yaml:43-58)."""
+    import numpy as np
+
+    import paddlescience_tpu as psci
+
+    psci.utils.set_random_seed(42)
+    model = psci.arch.MLP(("t", "x", "y"), ("u", "v", "p"), 5, 50, activation="tanh")
+    equation = {"NavierStokes": psci.equation.NavierStokes(0.02, 1.0, 2, True)}
+
+    channel = psci.geometry.Rectangle((-4.0, -4.0), (12.0, 4.0))
+    cylinder = psci.geometry.Disk((0.0, 0.0), 1.0)
+    timestamps = np.linspace(1.0, 50.0, 31).astype(np.float32)
+    time_geom = psci.geometry.TimeXGeometry(
+        psci.geometry.TimeDomain(1.0, 50.0, timestamps=timestamps), channel - cylinder)
+
+    NPOINT_PDE, NTIME = 9420, 30
+    cfg = {"dataset": "IterableNamedArrayDataset", "iters_per_epoch": iters_per_epoch}
+    pde = psci.constraint.InteriorConstraint(
+        equation["NavierStokes"].equations,
+        {"continuity": 0, "momentum_x": 0, "momentum_y": 0},
+        time_geom, {**cfg, "batch_size": NPOINT_PDE * NTIME},
+        psci.loss.MSELoss("mean"), name="EQ")
+    bc_inlet_cyl = psci.constraint.BoundaryConstraint(
+        {"u": lambda out: out["u"], "v": lambda out: out["v"]},
+        {"u": 1.0, "v": 0.0}, time_geom, {**cfg, "batch_size": 161 * NTIME},
+        psci.loss.MSELoss("mean"),
+        criteria=lambda t, x, y: np.isclose(x, -4.0) | ((x**2 + y**2) < 1.1**2),
+        name="BC_inlet_cylinder")
+    bc_outlet = psci.constraint.BoundaryConstraint(
+        {"p": lambda out: out["p"]}, {"p": 0.0},
+        time_geom, {**cfg, "batch_size": 81 * NTIME},
+        psci.loss.MSELoss("mean"),
+        criteria=lambda t, x, y: np.isclose(x, 12.0), name="BC_outlet")
+    ic = psci.constraint.InitialConstraint(
+        {"u": lambda out: out["u"], "v": lambda out: out["v"]},
+        {"u": 1.0, "v": 0.0}, time_geom, {**cfg, "batch_size": 9420},
+        psci.loss.MSELoss("mean"), name="IC")
+    constraint = {c.name: c for c in (pde, bc_inlet_cyl, bc_outlet, ic)}
+    total_points = NPOINT_PDE * NTIME + 161 * NTIME + 81 * NTIME + 9420
+
+    solver = psci.solver.Solver(
+        model, constraint, None, psci.optimizer.Adam(1e-3)(model),
+        epochs=1, iters_per_epoch=iters_per_epoch, log_freq=10**9,
+        # 280k-point NS batch: 2nd-derivative stacks need ~3 GB of
+        # activations at full batch; lax.map+checkpoint chunks of 28,260
+        # keep the identical gradient with bounded HBM
+        microbatch={"EQ": NPOINT_PDE * NTIME // 10})
+    return solver, total_points
+
+
+def bench_cylinder(steps, fused):
+    import jax
+
+    from paddlescience_tpu.parallel import mesh as mesh_mod
+
+    solver, total_points = build_matched_cylinder(steps)
+    host_batches = {}
+    for name, cst in solver.constraint.items():
+        if cst.data_iter is not None:
+            inp, lab, wgt = next(cst.data_iter)
+            host_batches[name] = (
+                mesh_mod.shard_batch(inp, solver.mesh),
+                mesh_mod.shard_batch(lab, solver.mesh),
+                mesh_mod.shard_batch(wgt, solver.mesh),
+            )
+    scan_fn = solver._build_scanned_train_step_static(fused, host_batches)
+    n_calls = max(steps // fused, 1)
+    steps_per_sec, flops_per_step = _time_scan(scan_fn, solver.state, n_calls, fused)
+    peak = _peak_flops()
+    n_chips = jax.device_count()
+    ips = steps_per_sec * total_points
+    mfu = (flops_per_step * steps_per_sec / (peak * n_chips)) if (flops_per_step and peak) else None
+    return {
+        "ips": round(ips, 1),
+        "steps_per_sec": round(steps_per_sec, 3),
+        "points_per_step": total_points,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "vs_published_ref_ips": round(ips / CYLINDER_REF_IPS, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny CPU-friendly run")
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--batch-size", type=int, default=4096)
+    ap.add_argument("--fused", type=int, default=400,
+                    help="steps fused per jitted lax.scan call")
+    ap.add_argument("--cases", type=str, default="allen_cahn,piratenet,cylinder")
+    args = ap.parse_args()
+
+    import jax
+
+    cases = args.cases.split(",")
+    batch = 256 if args.smoke else args.batch_size
+    steps = 20 if args.smoke else args.steps
+    fused = min(args.fused, 10) if args.smoke else args.fused
+
+    ac = bench_allen_cahn(steps, batch, max(fused, 1))
+
+    extra = {}
+    if "piratenet" in cases and not args.smoke:
+        extra["piratenet_9x256"] = bench_allen_cahn(
+            max(steps // 4, 40), batch, max(min(fused, steps // 4), 1),
+            arch="piratenet", piratenet_blocks=9)
+    cyl = None
+    if "cylinder" in cases and not args.smoke:
+        cyl_steps = max(steps // 20, 10)
+        cyl = bench_cylinder(cyl_steps, max(min(fused, cyl_steps), 1))
+        extra["cylinder2d_matched"] = cyl
+
     result = {
         "metric": "allen_cahn_train_steps_per_sec_per_chip",
-        "value": round(steps_per_sec / n_chips, 3),
-        "unit": f"steps/s/chip (batch={batch}, {jax.devices()[0].platform})",
-        "vs_baseline": round(steps_per_sec / n_chips / REF_STEPS_PER_SEC, 3),
+        "value": ac["steps_per_sec_per_chip"],
+        "unit": f"steps/s/chip (batch={batch}, {jax.devices()[0].platform}, bf16-matmul/f32-acc)",
+        "vs_baseline": cyl["vs_published_ref_ips"] if cyl else None,
+        "baseline": "cylinder2d_unsteady_Re100 ips vs published 1264165.641"
+                    " (reference test_tipc/README.MD:13-17, FP32 1xGPU) — measured ratio"
+                    if cyl else "cylinder case skipped",
+        "mfu": ac["mfu"],
+        "model_flops_per_step": ac["model_flops_per_step"],
+        "precision": "bf16-matmul/f32-acc",
+        "cases": extra,
     }
     print(json.dumps(result))
 

@@ -89,6 +89,7 @@ def build_solver(
     with_validator: bool = True,
     seed: int = 42,
     arch: str = "mlp",
+    piratenet_blocks: int = 3,
 ):
     import jax
     import jax.numpy as jnp
@@ -106,7 +107,7 @@ def build_solver(
         model = psci.arch.PirateNet(
             ("t", "x"),
             ("u",),
-            num_blocks=3,
+            num_blocks=piratenet_blocks,
             hidden_size=256,
             activation="tanh",
             periods={"x": (2.0, False)},
@@ -200,10 +201,77 @@ def build_solver(
     return solver, (t_star, x_star, u_ref)
 
 
-if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-    solver, _ = build_solver(epochs=epochs, iters_per_epoch=iters)
+def _solver_from_cfg(cfg, **overrides):
+    import paddlescience_tpu as psci  # noqa: F401
+
+    kw = dict(
+        epochs=cfg.TRAIN.epochs,
+        iters_per_epoch=cfg.TRAIN.iters_per_epoch,
+        batch_size=cfg.TRAIN.batch_size,
+        output_dir=cfg.output_dir or "./output_allen_cahn",
+        eval_during_train=cfg.TRAIN.eval_during_train,
+        seed=cfg.seed,
+        arch=cfg.MODEL.arch,
+        piratenet_blocks=cfg.MODEL.get("piratenet_blocks", 3),
+    )
+    kw.update(overrides)
+    return build_solver(**kw)
+
+
+def train(cfg):
+    solver, _ = _solver_from_cfg(cfg)
     solver.train()
     metric, _ = solver.eval()
     print(f"final L2Rel.u = {metric:.4e}")
+    return metric
+
+
+def evaluate(cfg):
+    solver, _ = _solver_from_cfg(cfg, eval_during_train=False)
+    if cfg.EVAL.pretrained_model_path:
+        solver.load_pretrain(cfg.EVAL.pretrained_model_path)
+    metric, metrics = solver.eval()
+    print(f"eval L2Rel.u = {metric:.4e}")
+    return metric
+
+
+def export(cfg):
+    solver, _ = _solver_from_cfg(cfg, eval_during_train=False, with_validator=False)
+    if cfg.INFER.pretrained_model_path:
+        solver.load_pretrain(cfg.INFER.pretrained_model_path)
+    solver.export(export_path=cfg.INFER.export_path)
+    print(f"exported to {cfg.INFER.export_path}")
+
+
+def inference(cfg):
+    import paddlescience_tpu as psci
+
+    solver, (t_star, x_star, u_ref) = _solver_from_cfg(
+        cfg, eval_during_train=False, with_validator=False)
+    predictor = psci.deploy.PINNPredictor(
+        solver.model,
+        checkpoint_path=cfg.INFER.pretrained_model_path
+        or os.path.join(os.path.dirname(cfg.INFER.export_path) or ".",
+                        "checkpoints", os.path.basename(cfg.INFER.export_path)),
+    )
+    tx = psci.utils.misc.cartesian_product(t_star, x_star).astype(np.float32)
+    out = predictor.predict({"t": tx[:, 0:1], "x": tx[:, 1:2]}, cfg.INFER.batch_size)
+    u_pred = out["u"].reshape(len(t_star), len(x_star))
+    l2 = float(np.linalg.norm(u_pred - u_ref) / np.linalg.norm(u_ref))
+    print(f"infer L2Rel.u = {l2:.4e}")
+    return l2
+
+
+def main_cli():
+    import paddlescience_tpu as psci
+
+    @psci.utils.config.main("conf/allen_cahn.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=train, evaluate=evaluate, export=export, inference=inference)
+
+    return _main()
+
+
+if __name__ == "__main__":
+    main_cli()

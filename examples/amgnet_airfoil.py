@@ -54,8 +54,16 @@ def main(steps=40):
     print(f"AMGNet airfoil: loss {first:.4f} -> {last:.4f} over {steps} steps")
     assert last < first
     return last
+def main_cli():
+    import paddlescience_tpu as psci
+
+    @psci.utils.config.main("conf/amgnet_airfoil.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=lambda c: main(c.TRAIN.steps))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    main(steps)
+    main_cli()

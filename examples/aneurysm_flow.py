@@ -107,14 +107,42 @@ def build_solver(epochs=10, output_dir="./output_aneurysm"):
         model, constraint, output_dir,
         psci.optimizer.Adam(lr)(model),
         epochs=epochs, iters_per_epoch=10, equation=equation, log_freq=50)
-
-
-if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    # flow through the bulge mid-plane should be along +z after training
+def _report(solver):
     probe = {"x": np.zeros((16, 1), np.float32), "y": np.zeros((16, 1), np.float32),
              "z": np.linspace(0.2, L - 0.2, 16, dtype=np.float32).reshape(-1, 1)}
     pred = solver.predict(probe, return_numpy=True)
     print(f"centerline w: mean {pred['w'].mean():.3f} (inlet plug 0.5, expect positive axial flow)")
+    return float(pred["w"].mean())
+
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    def _build(cfg):
+        return _runner.build_from_cfg(cfg, build_solver)
+
+    def _train(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        solver.train()
+        return _report(solver)
+
+    def _evaluate(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        path = cfg.get_path("EVAL.pretrained_model_path")
+        if path:
+            solver.load_pretrain(path)
+        return _report(solver)
+
+    @psci.utils.config.main("conf/aneurysm_flow.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=_train, evaluate=_evaluate,
+            export=lambda c: _runner.export(c, _build),
+            inference=lambda c: _runner.inference(c, _build))
+
+    return _main()
+
+
+if __name__ == "__main__":
+    main_cli()

@@ -42,15 +42,44 @@ def build_solver(epochs=40, output_dir="./output_biharmonic2d"):
         model, {"EQ": interior}, output_dir,
         psci.optimizer.Adam(2e-3)(model),
         epochs=epochs, iters_per_epoch=25, equation=equation, log_freq=200)
-
-
-if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    solver = build_solver(epochs=epochs)
-    solver.train()
+def _report(solver):
     x, y = np.meshgrid(np.linspace(0, A, 32), np.linspace(0, A, 32), indexing="ij")
     pred = solver.predict({"x": x.reshape(-1, 1).astype(np.float32),
                            "y": y.reshape(-1, 1).astype(np.float32)}, return_numpy=True)["u"]
     truth = w_exact(x.reshape(-1, 1), y.reshape(-1, 1))
     l2 = float(np.linalg.norm(pred - truth) / np.linalg.norm(truth))
     print(f"biharmonic plate L2Rel vs Navier solution: {l2:.4f}")
+    return l2
+
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    def _build(cfg):
+        return _runner.build_from_cfg(cfg, build_solver)
+
+    def _train(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        solver.train()
+        return _report(solver)
+
+    def _evaluate(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        path = cfg.get_path("EVAL.pretrained_model_path")
+        if path:
+            solver.load_pretrain(path)
+        return _report(solver)
+
+    @psci.utils.config.main("conf/biharmonic2d.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=_train, evaluate=_evaluate,
+            export=lambda c: _runner.export(c, _build),
+            inference=lambda c: _runner.inference(c, _build))
+
+    return _main()
+
+
+if __name__ == "__main__":
+    main_cli()

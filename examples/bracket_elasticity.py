@@ -89,13 +89,7 @@ def build_solver(epochs=30, iters_per_epoch=20, output_dir="./output_bracket"):
         equation=equation,
         log_freq=100,
     )
-
-
-if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    # tip deflection sanity: w < 0 under downward load
+def _report(solver):
     pred = solver.predict(
         {"x": np.full((16, 1), 2.0, np.float32),
          "y": np.full((16, 1), 0.25, np.float32),
@@ -103,3 +97,37 @@ if __name__ == "__main__":
         return_numpy=True,
     )
     print(f"tip w mean = {pred['w'].mean():.4e} (should be < 0 under downward load)")
+    return float(pred["w"].mean())
+
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    def _build(cfg):
+        return _runner.build_from_cfg(cfg, build_solver)
+
+    def _train(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        solver.train()
+        return _report(solver)
+
+    def _evaluate(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        path = cfg.get_path("EVAL.pretrained_model_path")
+        if path:
+            solver.load_pretrain(path)
+        return _report(solver)
+
+    @psci.utils.config.main("conf/bracket_elasticity.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=_train, evaluate=_evaluate,
+            export=lambda c: _runner.export(c, _build),
+            inference=lambda c: _runner.inference(c, _build))
+
+    return _main()
+
+
+if __name__ == "__main__":
+    main_cli()

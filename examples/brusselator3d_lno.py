@@ -70,8 +70,16 @@ def main(steps=60):
     print(f"Brusselator3D LNO MSE: {first:.5f} -> {last:.5f} over {steps} steps")
     assert last < first
     return last
+def main_cli():
+    import paddlescience_tpu as psci
+
+    @psci.utils.config.main("conf/brusselator3d_lno.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=lambda c: main(c.TRAIN.steps))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    main(steps)
+    main_cli()

@@ -81,15 +81,44 @@ def build_solver(epochs=40, output_dir="./output_burgers"):
         model, {"EQ": interior, "IC": ic, "BC": bc}, output_dir,
         psci.optimizer.Adam(1e-3)(model),
         epochs=epochs, iters_per_epoch=50, equation={"burgers": eq}, log_freq=500)
-
-
-if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    solver = build_solver(epochs=epochs)
-    solver.train()
+def _report(solver):
     t_ref, x_ref, u_ref = solve_burgers_spectral()
     T, X = np.meshgrid(t_ref, x_ref, indexing="ij")
     pred = solver.predict({"t": T.reshape(-1, 1).astype(np.float32),
                            "x": X.reshape(-1, 1).astype(np.float32)}, return_numpy=True)["u"]
     l2 = float(np.linalg.norm(pred.ravel() - u_ref.ravel()) / np.linalg.norm(u_ref))
     print(f"Burgers L2Rel vs spectral reference: {l2:.4f}")
+    return l2
+
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    def _build(cfg):
+        return _runner.build_from_cfg(cfg, build_solver)
+
+    def _train(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        solver.train()
+        return _report(solver)
+
+    def _evaluate(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        path = cfg.get_path("EVAL.pretrained_model_path")
+        if path:
+            solver.load_pretrain(path)
+        return _report(solver)
+
+    @psci.utils.config.main("conf/burgers.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=_train, evaluate=_evaluate,
+            export=lambda c: _runner.export(c, _build),
+            inference=lambda c: _runner.inference(c, _build))
+
+    return _main()
+
+
+if __name__ == "__main__":
+    main_cli()

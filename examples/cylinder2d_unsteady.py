@@ -87,11 +87,17 @@ def build_solver(epochs=40, iters_per_epoch=50, output_dir="./output_cylinder2d"
         equation=equation,
         log_freq=200,
     )
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/cylinder2d_unsteady.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    metric, _ = solver.eval()
-    print(f"final residual MSE = {metric:.4e}")
+    main_cli()

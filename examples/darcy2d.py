@@ -50,12 +50,17 @@ def build_solver(epochs=40, output_dir="./output_darcy2d"):
         psci.optimizer.Adam(lr)(model),
         epochs=epochs, iters_per_epoch=25, equation=equation,
         validator={"L2Rel_Metric": validator}, eval_during_train=False, log_freq=200)
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/darcy2d.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    loss, metrics = solver.eval()
-    print("darcy2d eval:",
-          {f"{g}.{k}": float(np.asarray(v).mean()) for g, kv in metrics.items() for k, v in kv.items()})
+    main_cli()

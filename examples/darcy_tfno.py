@@ -80,11 +80,17 @@ def build_solver(epochs=50, n_train=128, n_eval=32, resolution=32, output_dir=".
         validator=validator,
         log_freq=50,
     )
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/darcy_tfno.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    metric, _ = solver.eval()
-    print(f"final L2Rel.output = {metric:.4e}")
+    main_cli()

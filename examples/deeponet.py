@@ -77,11 +77,17 @@ def build_solver(epochs=100, iters_per_epoch=32, output_dir="./output_deeponet")
         validator=validator,
         log_freq=200,
     )
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/deeponet.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    metric, _ = solver.eval()
-    print(f"final L2Rel.G = {metric:.4e}")
+    main_cli()

@@ -43,12 +43,17 @@ def build_solver(epochs=3, output_dir="./output_earthformer_enso"):
         psci.optimizer.AdamW(lr, weight_decay=1e-5)(model),
         epochs=epochs, iters_per_epoch=3,
         validator={"enso_valid": validator}, eval_during_train=False, log_freq=3)
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/earthformer_enso.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    loss, metrics = solver.eval()
-    print("earthformer ENSO eval:",
-          {f"{g}.{k}": float(np.asarray(v).mean()) for g, kv in metrics.items() for k, v in kv.items()})
+    main_cli()

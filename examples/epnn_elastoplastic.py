@@ -50,12 +50,17 @@ def build_solver(epochs=6, output_dir="./output_epnn"):
         psci.optimizer.Adam(2e-3)(model),
         epochs=epochs, iters_per_epoch=4,
         validator={"epnn_valid": validator}, eval_during_train=False, log_freq=8)
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/epnn_elastoplastic.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    loss, metrics = solver.eval()
-    print("EPNN eval:",
-          {f"{g}.{k}": float(np.asarray(v).mean()) for g, kv in metrics.items() for k, v in kv.items()})
+    main_cli()

@@ -72,11 +72,17 @@ def build_solver(epochs=100, iters_per_epoch=10, output_dir="./output_euler_beam
         equation=equation,
         log_freq=100,
     )
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/euler_beam.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    metric, _ = solver.eval()
-    print(f"final L2Rel.u = {metric:.4e}")
+    main_cli()

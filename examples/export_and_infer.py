@@ -54,8 +54,16 @@ def main(epochs=3):
     print(f"export/infer agreement: export {e2:.2e}, predictor {e3:.2e}, bf16 {e4:.2e}")
     assert e2 < 1e-6 and e3 < 1e-6 and e4 < 0.05
     return e2, e3, e4
+def main_cli():
+    import paddlescience_tpu as psci
+
+    @psci.utils.config.main("conf/export_and_infer.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=lambda c: main(c.TRAIN.epochs))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    main(epochs)
+    main_cli()

@@ -80,25 +80,17 @@ def build_solver(epochs=4, output_dir="./output_fourcastnet", data_path="./datas
         validator={"era5_valid": validator},
         eval_during_train=False, log_freq=8,
     )
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/fourcastnet.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    loss, metric_dict = solver.eval()
-    print("fourcastnet eval:",
-          {f"{g}.{k}": float(np.asarray(v).mean()) for g, kv in metric_dict.items() for k, v in kv.items()}
-          if metric_dict and isinstance(next(iter(metric_dict.values())), dict)
-          else {k: float(np.asarray(v).mean()) for k, v in metric_dict.items()})
-    # one-step visualization
-    ds = psci.data.build_dataset({"name": "ERA5Dataset", "file_path": "./dataset/era5_synth.h5",
-                                  "input_keys": ("input",), "label_keys": ("output",), "size": 4})
-    x = ds.input["input"][:1]
-    pred = solver.predict({"input": x}, return_numpy=True)
-    vis = psci.visualize.VisualizerWeather(
-        {"input": x}, {"pred": lambda d: d["pred"], "target": lambda d: d["target"]},
-        vmin=-2, vmax=2, num_timestamps=1)
-    vis.save(os.path.join(solver.output_dir, "weather"),
-             {"pred": pred["output"][0, 0], "target": ds.label["output"][0, 0]})
-    print("saved weather plot")
+    main_cli()

@@ -79,10 +79,17 @@ def build_solver(epochs=30, iters_per_epoch=20, output_dir="./output_heat_exchan
         equation=equation,
         log_freq=100,
     )
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/heat_exchanger.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    print("heat exchanger trained; see loss in log")
+    main_cli()

@@ -49,8 +49,16 @@ def main(n_samples=2000):
     print(f"inferred k: {k_samples.mean():.3f} ± {k_samples.std():.3f} (true {k_true})")
     assert abs(k_samples.mean() - k_true) < 0.2
     return k_samples.mean()
+def main_cli():
+    import paddlescience_tpu as psci
+
+    @psci.utils.config.main("conf/hmc_bayes.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=lambda c: main(c.TRAIN.n_samples))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    main(n)
+    main_cli()

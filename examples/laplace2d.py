@@ -73,11 +73,17 @@ def build_solver(epochs: int = 20, iters_per_epoch: int = 1, output_dir="./outpu
         validator=validator,
         equation=equation,
     )
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/laplace2d.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    metric, groups = solver.eval()
-    print(f"final MSE.u = {metric:.3e}")
+    main_cli()

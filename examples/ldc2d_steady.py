@@ -84,18 +84,17 @@ def build_solver(epochs=50, iters_per_epoch=50, re=10.0, output_dir="./output_ld
         equation=equation,
         log_freq=100,
     )
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/ldc2d_steady.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    metric, groups = solver.eval()
-    print(f"final residual MSE = {metric:.4e}")
-    # Adam -> L-BFGS two-phase fine-tune (reference ldc recipe)
-    if len(sys.argv) > 2 and sys.argv[2] == "lbfgs":
-        solver2 = build_solver(epochs=5, iters_per_epoch=10, lbfgs=True)
-        solver2.state["params"] = solver.state["params"]
-        solver2.state["opt_state"] = solver2._tx().init(solver2._opt_target(solver2.state))
-        solver2.train()
-        print("L-BFGS fine-tune done:", solver2.eval()[0])
+    main_cli()

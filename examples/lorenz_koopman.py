@@ -92,10 +92,17 @@ def build_solver(epochs=50, iters_per_epoch=8, seq_len=16, output_dir="./output_
         iters_per_epoch=iters_per_epoch,
         log_freq=100,
     )
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/lorenz_koopman.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    print("done; final loss in log")
+    main_cli()

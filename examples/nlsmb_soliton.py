@@ -63,13 +63,7 @@ def build_solver(epochs=10, output_dir="./output_nlsmb"):
         model, {"EQ": interior, "ICBC": sup}, output_dir,
         psci.optimizer.Adam(1e-3)(model),
         epochs=epochs, iters_per_epoch=50, equation=equation, log_freq=100)
-
-
-if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    # L2 against the analytic soliton on a grid
+def _report(solver):
     t, x = np.meshgrid(np.linspace(-1, 1, 32), np.linspace(-1, 1, 64), indexing="ij")
     pred = solver.predict({"t": t.reshape(-1, 1).astype(np.float32),
                            "x": x.reshape(-1, 1).astype(np.float32)}, return_numpy=True)
@@ -77,3 +71,37 @@ if __name__ == "__main__":
     l2 = np.sqrt(sum(np.sum((pred[k] - truth[k]) ** 2) for k in truth)
                  / sum(np.sum(truth[k] ** 2) for k in truth))
     print(f"NLS-MB soliton combined L2Rel: {l2:.4f}")
+    return float(l2)
+
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    def _build(cfg):
+        return _runner.build_from_cfg(cfg, build_solver)
+
+    def _train(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        solver.train()
+        return _report(solver)
+
+    def _evaluate(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        path = cfg.get_path("EVAL.pretrained_model_path")
+        if path:
+            solver.load_pretrain(path)
+        return _report(solver)
+
+    @psci.utils.config.main("conf/nlsmb_soliton.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=_train, evaluate=_evaluate,
+            export=lambda c: _runner.export(c, _build),
+            inference=lambda c: _runner.inference(c, _build))
+
+    return _main()
+
+
+if __name__ == "__main__":
+    main_cli()

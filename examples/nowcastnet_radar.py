@@ -37,17 +37,47 @@ def build_solver(epochs=3, output_dir="./output_nowcastnet"):
         model, {"Sup": sup}, output_dir,
         psci.optimizer.Adam(1e-3)(model),
         epochs=epochs, iters_per_epoch=4, log_freq=4)
-
-
-if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    solver = build_solver(epochs=epochs)
-    solver.train()
+def _report(solver):
+    import os as _os
     ds = psci.data.build_dataset({"name": "RadarDataset", "input_keys": ("input",),
         "label_keys": ("output",), "image_width": W, "image_height": H,
         "total_length": TOTAL, "input_length": IN_LEN})
     x = ds.input["input"][:1]
-    pred = solver.predict({"input": x}, return_numpy=True)["output"]  # (1, P, H, W, 1)
+    pred = solver.predict({"input": x}, return_numpy=True)["output"]
     vis = psci.visualize.VisualizerRadar({"input": x}, {"pred": lambda d: d["pred"]})
-    vis.save(os.path.join(solver.output_dir, "nowcast"), {"pred": pred[0, :, :, :, 0]})
+    vis.save(_os.path.join(solver.output_dir or ".", "nowcast"), {"pred": pred[0, :, :, :, 0]})
     print(f"nowcastnet: predicted {pred.shape[1]} frames, strip saved")
+    return float(np.abs(pred).mean())
+
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    def _build(cfg):
+        return _runner.build_from_cfg(cfg, build_solver)
+
+    def _train(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        solver.train()
+        return _report(solver)
+
+    def _evaluate(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        path = cfg.get_path("EVAL.pretrained_model_path")
+        if path:
+            solver.load_pretrain(path)
+        return _report(solver)
+
+    @psci.utils.config.main("conf/nowcastnet_radar.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=_train, evaluate=_evaluate,
+            export=lambda c: _runner.export(c, _build),
+            inference=lambda c: _runner.inference(c, _build))
+
+    return _main()
+
+
+if __name__ == "__main__":
+    main_cli()

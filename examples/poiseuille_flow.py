@@ -49,15 +49,44 @@ def build_solver(epochs=40, output_dir="./output_poiseuille"):
         model, {"EQ": interior, "WALL": walls, "PIO": pio}, output_dir,
         psci.optimizer.Adam(1e-3)(model),
         epochs=epochs, iters_per_epoch=50, equation=equation, log_freq=500)
-
-
-if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    solver = build_solver(epochs=epochs)
-    solver.train()
+def _report(solver):
     y = np.linspace(-R_CH, R_CH, 64, dtype=np.float32).reshape(-1, 1)
     pred = solver.predict({"x": np.full_like(y, L_CH / 2), "y": y}, return_numpy=True)["u"]
     truth = u_exact(y)
     l2 = float(np.linalg.norm(pred - truth) / np.linalg.norm(truth))
     print(f"Poiseuille u-profile L2Rel vs parabola: {l2:.4f} "
           f"(max u: pred {pred.max():.4f}, exact {truth.max():.4f})")
+    return l2
+
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    def _build(cfg):
+        return _runner.build_from_cfg(cfg, build_solver)
+
+    def _train(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        solver.train()
+        return _report(solver)
+
+    def _evaluate(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        path = cfg.get_path("EVAL.pretrained_model_path")
+        if path:
+            solver.load_pretrain(path)
+        return _report(solver)
+
+    @psci.utils.config.main("conf/poiseuille_flow.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=_train, evaluate=_evaluate,
+            export=lambda c: _runner.export(c, _build),
+            inference=lambda c: _runner.inference(c, _build))
+
+    return _main()
+
+
+if __name__ == "__main__":
+    main_cli()

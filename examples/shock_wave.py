@@ -101,15 +101,43 @@ def build_solver(epochs=20, output_dir="./output_shock_wave"):
         model, {"EQ": interior, "IC": ic}, output_dir,
         psci.optimizer.Adam(1e-3)(model),
         epochs=epochs, iters_per_epoch=20, equation=equation, log_freq=100)
-
-
-if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    # density jump across the diaphragm at t=0 (IC learned?) and t=0.1
+def _report(solver):
     x = np.linspace(0, 1, 64, dtype=np.float32).reshape(-1, 1)
     probe = {"x": x, "y": np.full_like(x, 0.125), "t": np.zeros_like(x)}
     rho0 = solver.predict(probe, return_numpy=True)["rho"]
     print(f"shock tube: rho(left)={rho0[:16].mean():.3f} (true 1.0), "
           f"rho(right)={rho0[-16:].mean():.3f} (true 0.125)")
+    return float(rho0[:16].mean())
+
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    def _build(cfg):
+        return _runner.build_from_cfg(cfg, build_solver)
+
+    def _train(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        solver.train()
+        return _report(solver)
+
+    def _evaluate(cfg):
+        solver, _ = _runner._unwrap(_build(cfg))
+        path = cfg.get_path("EVAL.pretrained_model_path")
+        if path:
+            solver.load_pretrain(path)
+        return _report(solver)
+
+    @psci.utils.config.main("conf/shock_wave.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=_train, evaluate=_evaluate,
+            export=lambda c: _runner.export(c, _build),
+            inference=lambda c: _runner.inference(c, _build))
+
+    return _main()
+
+
+if __name__ == "__main__":
+    main_cli()

@@ -111,9 +111,16 @@ def train(epochs=20, n_frames=16, nx=64):
         if (epoch + 1) % max(epochs // 10, 1) == 0:
             print(f"epoch {epoch + 1}: pix L1 {float(pix):.5f}, adv {float(adv):.4f}, d {float(d_l):.4f}")
     return float(pix)
+def main_cli():
+    import paddlescience_tpu as psci
+
+    @psci.utils.config.main("conf/tempogan_lite.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=lambda c: train(c.TRAIN.epochs))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    final_pix = train(epochs)
-    print(f"final pixel L1 = {final_pix:.5f}")
+    main_cli()

@@ -53,12 +53,17 @@ def build_solver(epochs=4, output_dir="./output_tgcn_pems"):
         psci.optimizer.Adam(1e-3)(model),
         epochs=epochs, iters_per_epoch=10,
         validator={"pems_valid": validator}, eval_during_train=False, log_freq=10)
+def main_cli():
+    import paddlescience_tpu as psci
+
+    import _runner
+
+    @psci.utils.config.main("conf/tgcn_pems.yaml")
+    def _main(cfg):
+        return _runner.run(cfg, lambda c: _runner.build_from_cfg(c, build_solver))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    solver = build_solver(epochs=epochs)
-    solver.train()
-    loss, metrics = solver.eval()
-    print("TGCN PEMS eval:",
-          {f"{g}.{k}": float(np.asarray(v).mean()) for g, kv in metrics.items() for k, v in kv.items()})
+    main_cli()

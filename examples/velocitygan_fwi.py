@@ -67,8 +67,16 @@ def main(steps=60):
     print(f"VelocityGAN reconstruction L1: {first_l1:.4f} -> {last_l1:.4f} over {steps} steps")
     assert last_l1 < first_l1
     return last_l1
+def main_cli():
+    import paddlescience_tpu as psci
+
+    @psci.utils.config.main("conf/velocitygan_fwi.yaml")
+    def _main(cfg):
+        return psci.utils.config.dispatch(
+            cfg, train=lambda c: main(c.TRAIN.steps))
+
+    return _main()
 
 
 if __name__ == "__main__":
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    main(steps)
+    main_cli()

@@ -28,7 +28,30 @@ from typing import Any, Dict, List, Literal, Optional
 import numpy as np
 import yaml
 
-__all__ = ["Config", "load_config", "apply_overrides", "main", "SolverConfig", "validate_config"]
+__all__ = [
+    "Config",
+    "load_config",
+    "apply_overrides",
+    "main",
+    "dispatch",
+    "SolverConfig",
+    "validate_config",
+]
+
+
+def dispatch(cfg, train=None, evaluate=None, export=None, inference=None):
+    """``mode={train,eval,export,infer}`` dispatch — the body every reference
+    example repeats under ``@hydra.main`` (e.g.
+    ``examples/allen_cahn/allen_cahn_default.py:276-288``)."""
+    mode = cfg.get("mode", "train")
+    fns = {"train": train, "eval": evaluate, "export": export, "infer": inference}
+    if mode not in fns:
+        raise ValueError(
+            f"cfg.mode should in ['train', 'eval', 'export', 'infer'], but got '{mode}'"
+        )
+    if fns[mode] is None:
+        raise NotImplementedError(f"mode '{mode}' is not implemented for this example")
+    return fns[mode](cfg)
 
 
 class Config(dict):
@@ -208,9 +231,15 @@ def main(config_path: str, config_name: Optional[str] = None):
     """
 
     def deco(fn):
+        # resolve a relative config path against the decorated function's
+        # file (hydra semantics: config_path is relative to the script)
+        caller_dir = os.path.dirname(os.path.abspath(fn.__code__.co_filename))
+
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             path = config_path if config_name is None else os.path.join(config_path, config_name)
+            if not os.path.isabs(path) and not os.path.exists(path):
+                path = os.path.join(caller_dir, path)
             cfg = load_config(path, overrides=sys.argv[1:])
             cfg = validate_config(cfg)
             if not cfg.get("output_dir"):

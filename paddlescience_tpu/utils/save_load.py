@@ -88,15 +88,22 @@ def load_pretrain(path: str, params_like=None):
     if not os.path.exists(path):
         raise FileNotFoundError(f"checkpoint not found: {path}")
     ckptr = ocp.PyTreeCheckpointer()
-    if params_like is not None:
-        try:
-            restored = ckptr.restore(path, item={"params": _to_numpy_tree(params_like)})
-        except Exception:
-            # checkpoint may be a bare params tree (no 'params' key)
-            restored = ckptr.restore(path, item=_to_numpy_tree(params_like))
+    restored = ckptr.restore(path)
+    if isinstance(restored, dict):
+        restored.pop("_metric", None)
+        params = restored.get("params", restored)
     else:
-        restored = ckptr.restore(path)
-    restored.pop("_metric", None) if isinstance(restored, dict) else None
-    params = restored.get("params", restored) if isinstance(restored, dict) else restored
+        params = restored
+    if params_like is not None:
+        import jax
+
+        want = jax.tree.structure(_to_numpy_tree(params_like))
+        got = jax.tree.structure(params)
+        if want != got:
+            raise ValueError(
+                f"pretrained params at '{path}' do not match the model's "
+                f"parameter structure.\n  model:      {want}\n  checkpoint: {got}\n"
+                "Check the architecture config matches the one that was trained."
+            )
     logger.info(f"Finish loading pretrained params from: {path}")
     return params
