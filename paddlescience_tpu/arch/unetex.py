@@ -26,7 +26,13 @@ __all__ = ["UNetEx"]
 def _act(name_or_fn):
     if callable(name_or_fn):
         return name_or_fn
-    return {"relu": jax.nn.relu, "tanh": jnp.tanh, "gelu": jax.nn.gelu, None: lambda x: x}[name_or_fn]
+    return {
+        "relu": jax.nn.relu,
+        "tanh": jnp.tanh,
+        "gelu": jax.nn.gelu,
+        "sigmoid": jax.nn.sigmoid,
+        None: lambda x: x,
+    }[name_or_fn]
 
 
 class _ConvBlock(Module):
