@@ -19,6 +19,95 @@ from paddlescience_tpu.autodiff import ad
 __all__ = ["forward_with_derivatives", "evaluate_expressions"]
 
 
+def _raw_forward(model, feed):
+    """Model forward with the registered output transform disabled."""
+    saved = model._output_transform
+    model._output_transform = None
+    try:
+        return model(feed)
+    finally:
+        model._output_transform = saved
+
+
+def _forward_transform_on_tape(model, input_dict, tape: ad.Tape) -> Dict[str, jnp.ndarray]:
+    """Forward for a model whose output transform itself differentiates (the
+    stream-function transforms of reference ``bubble.py:96-104`` /
+    ``fsi/viv.py``, or transforms that rename outputs): run the *raw* net as a
+    derivative stack, hand the transform TapeArray views so array-level
+    ``jacobian``/``hessian`` work inside it, then register the transformed
+    outputs as a derived stack so downstream equations can differentiate them
+    further. Everything stays one jit trace."""
+    in_keys = tuple(model.input_keys)
+    diff_keys = [k for k in in_keys if input_dict[k].ndim == 2 and input_dict[k].shape[-1] == 1]
+    extra_keys = [k for k in in_keys if k not in diff_keys]
+    if not diff_keys:
+        raise ValueError(
+            f"model {type(model).__name__} has a derivative-using output "
+            "transform but no (N,1) coordinate inputs to differentiate against"
+        )
+    feed = {k: input_dict[k] for k in in_keys}
+    raw_out = _raw_forward(model, feed)
+    x = jnp.concatenate([input_dict[k] for k in diff_keys], axis=-1)
+    extras = {k: input_dict[k] for k in extra_keys}
+    key_index = {k: i for i, k in enumerate(diff_keys)}
+
+    raw_keys = tuple(raw_out.keys())
+    out_index, ofs = {}, 0
+    for k in raw_keys:
+        out_index[k] = ofs
+        ofs += int(raw_out[k].shape[-1])
+
+    def raw_pointwise(xvec, extras_pt, _m=model, _dk=tuple(diff_keys), _rk=raw_keys):
+        feed_pt = {k: xvec[i : i + 1] for i, k in enumerate(_dk)}
+        feed_pt.update(extras_pt)
+        o = _raw_forward(_m, feed_pt)
+        return jnp.concatenate([o[k] for k in _rk], axis=-1)
+
+    stack = tape.add_stack(raw_pointwise, x, key_index, out_index, extras=extras)
+
+    wrapped_out: Dict[str, object] = {}
+    for k in raw_keys:
+        arr = raw_out[k]
+        tape.register_output(arr, stack, out_index[k])
+        w = int(arr.shape[-1])
+
+        def pf(xvec, ex, _c=out_index[k], _w=w):
+            return raw_pointwise(xvec, ex)[_c : _c + _w]
+
+        wrapped_out[k] = ad.TapeArray(arr, pf, stack)
+    wrapped_in: Dict[str, object] = {}
+    for k in in_keys:
+        v = input_dict[k]
+        if k in key_index:
+            wrapped_in[k] = ad.TapeArray(v, (lambda xv, ex, _i=key_index[k]: xv[_i : _i + 1]), stack)
+        else:
+            wrapped_in[k] = v
+
+    transformed = model._output_transform(wrapped_in, wrapped_out)
+
+    result: Dict[str, jnp.ndarray] = {}
+    tracked = [(k, v) for k, v in transformed.items()
+               if isinstance(v, ad.TapeArray) and v.stack is stack]
+    if tracked:
+        t_index, ofs, pfs = {}, 0, []
+        for k, v in tracked:
+            t_index[k] = ofs
+            ofs += int(v.value.shape[-1])
+            pfs.append(v.pf)
+
+        def t_fn(xvec, ex, _pfs=tuple(pfs)):
+            return jnp.concatenate([p(xvec, ex) for p in _pfs], axis=-1)
+
+        tstack = tape.add_stack(t_fn, x, key_index, t_index, extras=extras)
+        for k, v in tracked:
+            tape.register_output(v.value, tstack, t_index[k])
+            result[k] = v.value
+    for k, v in transformed.items():
+        if k not in result:
+            result[k] = ad.unwrap(v)
+    return result
+
+
 def forward_with_derivatives(
     models: Sequence,
     input_dict: Mapping[str, jnp.ndarray],
@@ -42,9 +131,24 @@ def forward_with_derivatives(
         if missing:
             raise KeyError(f"model inputs {missing} not found in constraint inputs {list(input_dict)}")
 
-        # batched forward for the values themselves
+        # batched forward for the values themselves; output transforms that
+        # call jacobian/hessian (or rename outputs) are lifted to tape level
         feed = {k: input_dict[k] for k in in_keys}
-        batched_out = model(feed)
+        transform = getattr(model, "_output_transform", None)
+        batched_out, tape_level = None, False
+        if transform is not None:
+            try:
+                batched_out = model(feed)
+                tape_level = set(batched_out) != set(model.output_keys)
+            except (ValueError, RuntimeError) as e:
+                if "tape" not in str(e).lower():
+                    raise
+                tape_level = True
+        if tape_level:
+            out.update(_forward_transform_on_tape(model, input_dict, tape))
+            continue
+        if batched_out is None:
+            batched_out = model(feed)
 
         # separable/product-grid models (SPINN): per-axis coordinate vectors
         # of different lengths produce grid-shaped outputs -> grid stack

@@ -218,3 +218,49 @@ def test_coord_times_output_jacobian():
     res = expression.evaluate_expressions([model], inp, {"pair": resid})
     lhs, rhs = res["pair"]
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), rtol=2e-5, atol=2e-6)
+
+
+def test_output_transform_with_jacobian_stream_function():
+    """Output transforms may call jacobian/hessian (reference bubble.py:96-104
+    stream-function transform): u = dpsi/dy, v = -dpsi/dx must satisfy
+    div u = 0 identically, and downstream equations can differentiate the
+    transformed outputs again (pressure Poisson on p)."""
+    model = psci.arch.MLP(("x", "y"), ("psi", "p_raw"), 2, 12)
+
+    def transform_out(in_, out):
+        return {
+            "u": ad.jacobian(out["psi"], in_["y"]),
+            "v": -ad.jacobian(out["psi"], in_["x"]),
+            "p": out["p_raw"],
+        }
+
+    model.register_output_transform(transform_out)
+    n = 8
+    inp = {
+        "x": jnp.asarray(np.random.rand(n, 1).astype(np.float32)),
+        "y": jnp.asarray(np.random.rand(n, 1).astype(np.float32)),
+    }
+
+    def exprs(out):
+        div = ad.jacobian(out["u"], out["x"]) + ad.jacobian(out["v"], out["y"])
+        pp = ad.jacobian(ad.jacobian(out["p"], out["x"]), out["x"])
+        return ad.unwrap(div), ad.unwrap(pp)
+
+    res = expression.evaluate_expressions([model], inp, {"pair": exprs})
+    div, pp = res["pair"]
+    np.testing.assert_allclose(np.asarray(div), 0.0, atol=1e-6)
+    assert np.isfinite(np.asarray(pp)).all()
+    # second derivative of p must match a finite-difference of dp/dx
+    h = 1e-3
+
+    def p_of_x(xval):
+        out = expression.evaluate_expressions(
+            [model], {"x": jnp.full((n, 1), xval, jnp.float32), "y": inp["y"]},
+            {"px": lambda o: ad.unwrap(ad.jacobian(o["p"], o["x"]))})
+        return np.asarray(out["px"])
+
+    fd = (p_of_x(0.5 + h) - p_of_x(0.5 - h)) / (2 * h)
+    out_c = expression.evaluate_expressions(
+        [model], {"x": jnp.full((n, 1), 0.5, jnp.float32), "y": inp["y"]},
+        {"pxx": lambda o: ad.unwrap(ad.jacobian(ad.jacobian(o["p"], o["x"]), o["x"]))})
+    np.testing.assert_allclose(np.asarray(out_c["pxx"]), fd, rtol=5e-3, atol=5e-4)
