@@ -224,6 +224,23 @@ class Solver:
             )
         else:
             tx = self.optimizer.tx
+        # frozen models (Arch.freeze(), reference base.py:220): zero their
+        # updates so pretrained nets stay fixed in inverse problems
+        frozen_ids = {i for i, m in enumerate(self.models) if getattr(m, "_frozen", False)}
+        if frozen_ids:
+            def freeze_mask(target):
+                params, eq_params = target
+                mark = lambda tree, flag: jax.tree.map(lambda _: flag, tree)
+                if "model_list" in params:
+                    sub = params["model_list"]
+                    msub = {k: mark(v, k.isdigit() and int(k) in frozen_ids) for k, v in sub.items()}
+                    pl = {**{k: mark(v, False) for k, v in params.items() if k != "model_list"},
+                          "model_list": msub}
+                else:
+                    pl = mark(params, 0 in frozen_ids)
+                return (pl, mark(eq_params, False))
+
+            tx = optax.chain(tx, optax.masked(optax.set_to_zero(), freeze_mask))
         if self.update_freq > 1 and not self._lbfgs_mode_safe():
             tx = optax.MultiSteps(tx, every_k_schedule=self.update_freq)
         return tx

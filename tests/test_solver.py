@@ -165,3 +165,34 @@ def test_lbfgs_refinement(tmp_path):
     s2.train()
     m1, _ = s2.eval()
     assert m1 < m0
+
+
+def test_frozen_model_params_stay_fixed(tmp_path):
+    """Arch.freeze() must zero the frozen child's updates (inverse problems:
+    reference control_arm/inverse_parameter.py trains only the Lame nets)."""
+    import numpy as np
+
+    frozen_net = psci.arch.MLP(("x",), ("u",), 2, 8)
+    live_net = psci.arch.MLP(("x",), ("k",), 2, 8, rngs=psci.nn.Rngs(1))
+    frozen_net.freeze()
+    model = psci.arch.ModelList((frozen_net, live_net))
+    inp = {"x": np.random.rand(16, 1).astype("float32")}
+    lab = {"u": np.ones((16, 1), "float32"), "k": np.ones((16, 1), "float32")}
+    c = psci.constraint.SupervisedConstraint(
+        {"dataset": {"name": "NamedArrayDataset", "input": inp, "label": lab},
+         "batch_size": 16, "iters_per_epoch": 1,
+         "sampler": {"name": "BatchSampler", "shuffle": False, "drop_last": False}},
+        psci.loss.MSELoss("mean"), name="Sup")
+    opt = psci.optimizer.Adam(1e-2)(model)
+    s = psci.solver.Solver(model, {"Sup": c}, str(tmp_path), opt, epochs=2, iters_per_epoch=1)
+    import jax
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), s.state["params"]["model_list"])
+    s.train()
+    after = s.state["params"]["model_list"]
+    for (p, q) in zip(jax.tree.leaves(before["0"]), jax.tree.leaves(after["0"])):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(q))
+    changed = any(
+        not np.array_equal(np.asarray(p), np.asarray(q))
+        for p, q in zip(jax.tree.leaves(before["1"]), jax.tree.leaves(after["1"]))
+    )
+    assert changed, "live child params did not update"
