@@ -5,7 +5,7 @@ from typing import Dict
 from paddlescience_tpu.equation.pde.base import DETACH_FUNC_NAME, PDE  # noqa: F401
 from paddlescience_tpu.equation.fpde.fractional_poisson import FractionalPoisson  # noqa: F401
 from paddlescience_tpu.equation.ide.volterra import Volterra  # noqa: F401
-from paddlescience_tpu.equation.pde.extra import HeatExchanger, NLSMB  # noqa: F401
+from paddlescience_tpu.equation.pde.extra import HeatExchanger, Hooke, NLSMB  # noqa: F401
 from paddlescience_tpu.equation.pde.basic import (  # noqa: F401
     AllenCahn,
     Biharmonic,
@@ -32,6 +32,7 @@ __all__ = [
     "Vibration",
     "NLSMB",
     "HeatExchanger",
+    "Hooke",
     "Volterra",
     "FractionalPoisson",
     "build_equation",

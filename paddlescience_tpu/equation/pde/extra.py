@@ -9,7 +9,7 @@ import sympy as sp
 
 from paddlescience_tpu.equation.pde.base import PDE
 
-__all__ = ["NLSMB", "HeatExchanger"]
+__all__ = ["NLSMB", "HeatExchanger", "Hooke"]
 
 
 class NLSMB(PDE):
@@ -80,4 +80,85 @@ class HeatExchanger(PDE):
         self.add_equation("heat_boundary", heat_boundary)
         self.add_equation("cold_boundary", cold_boundary)
         self.add_equation("wall", wall)
+        self._apply_detach()
+
+
+class Hooke(PDE):
+    """Isotropic Hooke-law elasticity in displacement form with a cavity
+    pressure load — the cardiac-mechanics system of reference
+    ``examples/heart/equation.py:27-164``.
+
+    Strain e_ij from displacement gradients, stress t_ij = 2G(e_ij +
+    nu/(1-2nu) tr(e) delta_ij), equilibrium div(t) = 0 ("hooke_*"),
+    pressure-loaded surface traction t.n + P n ("traction_*") and its normal
+    projection ("traction"). ``E`` may be a float, an output-key string, or
+    ("learnable", init) to register an inverse-problem scalar.
+    """
+
+    def __init__(
+        self,
+        E,
+        nu,
+        P,
+        dim: int = 3,
+        time: bool = False,
+        detach_keys=None,
+    ):
+        super().__init__()
+        self.detach_keys = detach_keys
+        self.dim = dim
+        self.time = time
+
+        t, x, y, z = self.create_symbols("t x y z")
+        normal_x, normal_y, normal_z = self.create_symbols("normal_x normal_y normal_z")
+        invars = (x, y)
+        if time:
+            invars = (t,) + invars
+        if dim == 3:
+            invars += (z,)
+
+        u = self.create_function("u", invars)
+        v = self.create_function("v", invars)
+        w = self.create_function("w", invars) if dim == 3 else sp.Number(0)
+
+        if isinstance(nu, str):
+            nu = self.create_function(nu, invars)
+        if isinstance(P, str):
+            P = self.create_function(P, invars)
+        if isinstance(E, str):
+            E = self.create_function(E, invars)
+        elif isinstance(E, (tuple, list)) and len(E) == 2 and E[0] == "learnable":
+            E = self.create_parameter("E", float(E[1]))
+        self.E, self.nu, self.P = E, nu, P
+
+        e_xx = u.diff(x)
+        e_yy = v.diff(y)
+        e_zz = w.diff(z) if dim == 3 else sp.Number(0)
+        e_xy = 0.5 * (u.diff(y) + v.diff(x))
+        e_xz = 0.5 * (u.diff(z) + w.diff(x)) if dim == 3 else sp.Number(0)
+        e_yz = 0.5 * (v.diff(z) + w.diff(y)) if dim == 3 else sp.Number(0)
+
+        G = E / (2 * (1 + nu))
+        tr = e_xx + e_yy + e_zz
+        t_xx = 2 * G * (e_xx + nu / (1 - 2 * nu) * tr)
+        t_yy = 2 * G * (e_yy + nu / (1 - 2 * nu) * tr)
+        t_zz = 2 * G * (e_zz + nu / (1 - 2 * nu) * tr)
+        t_xy = 2 * G * e_xy
+        t_xz = 2 * G * e_xz
+        t_yz = 2 * G * e_yz
+
+        self.add_equation("hooke_x", t_xx.diff(x) + t_xy.diff(y) + t_xz.diff(z))
+        self.add_equation("hooke_y", t_xy.diff(x) + t_yy.diff(y) + t_yz.diff(z))
+        if dim == 3:
+            self.add_equation("hooke_z", t_xz.diff(x) + t_yz.diff(y) + t_zz.diff(z))
+
+        tx = t_xx * normal_x + t_xy * normal_y + t_xz * normal_z
+        ty = t_xy * normal_x + t_yy * normal_y + t_yz * normal_z
+        tz = t_xz * normal_x + t_yz * normal_y + t_zz * normal_z
+        self.add_equation("traction_x", tx + P * normal_x)
+        self.add_equation("traction_y", ty + P * normal_y)
+        if dim == 3:
+            self.add_equation("traction_z", tz + P * normal_z)
+        self.add_equation("traction", tx * normal_x + ty * normal_y + tz * normal_z)
+
         self._apply_detach()

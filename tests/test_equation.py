@@ -137,3 +137,33 @@ def test_vibration_learnable_params():
 def test_build_equation():
     eqs = psci.equation.build_equation([{"name": "Laplace", "dim": 3}])
     assert "Laplace" in eqs and eqs["Laplace"].dim == 3
+
+
+def test_hooke_equation_residuals_and_learnable_E():
+    """Hooke (reference examples/heart/equation.py:27-164): residuals evaluate
+    under jit, traction includes the P*n load, and E=("learnable", e0)
+    registers an inverse-problem parameter."""
+    eq = psci.equation.Hooke(E=("learnable", 2.0), nu=0.45, P=1.064, dim=3)
+    assert "E" in eq.learnable_parameters
+    assert set(eq.equations) >= {"hooke_x", "hooke_y", "hooke_z",
+                                 "traction_x", "traction_y", "traction_z", "traction"}
+    model = psci.arch.MLP(("x", "y", "z"), ("u", "v", "w"), 2, 16)
+    n = 6
+    rng = np.random.default_rng(0)
+    inp = {k: jnp.asarray(rng.random((n, 1), np.float32)) for k in ("x", "y", "z")}
+    nrm = rng.random((n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    inp.update({"normal_x": jnp.asarray(nrm[:, :1]),
+                "normal_y": jnp.asarray(nrm[:, 1:2]),
+                "normal_z": jnp.asarray(nrm[:, 2:3])})
+    exprs = {k: psci.lambdify(v, model) for k, v in eq.equations.items()}
+    out = expression.evaluate_expressions([model], inp, exprs,
+                                          extra_values=dict(eq.learnable_parameters))
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    # traction == traction_x*nx + traction_y*ny + traction_z*nz - P (identity)
+    t_combined = np.asarray(out["traction"])
+    t_from_parts = sum(
+        np.asarray(out[f"traction_{c}"]) * nrm[:, i:i+1] for i, c in enumerate("xyz")
+    ) - 1.064 * (nrm ** 2).sum(1, keepdims=True)
+    np.testing.assert_allclose(t_combined, t_from_parts, rtol=1e-4, atol=1e-5)
