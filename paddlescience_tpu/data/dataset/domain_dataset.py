@@ -161,6 +161,7 @@ class _TrajectoryWindowDataset(_DictDataset):
         weight_dict: Optional[Dict[str, float]] = None,
         transforms=None,
         synthetic: bool = False,
+        embedding_model=None,
     ):
         path = _require(file_path, synthetic)
         if path is not None:
@@ -168,6 +169,14 @@ class _TrajectoryWindowDataset(_DictDataset):
         else:
             series = self._synthesize(ndata or 8)
         data = _window_series(series, block_size, stride)
+        if embedding_model is not None:
+            # transformer stage: precompute Koopman embeddings of the state
+            # windows (reference trphysx_dataset.py: embedding_model path)
+            import jax.numpy as jnp
+
+            flat = jnp.asarray(data.reshape(-1, data.shape[-1]))
+            emb = np.asarray(embedding_model.encoder(flat))
+            data = emb.reshape(data.shape[0], data.shape[1], -1).astype(_F32)
         input = {input_keys[0]: data}
         label = {}
         if len(label_keys) > 0:

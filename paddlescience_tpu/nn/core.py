@@ -175,6 +175,15 @@ class Module:
             if cname in tree:
                 child.load_param_tree(tree[cname])
 
+    def load_buffer_tree(self, tree: Dict[str, Any]) -> None:
+        """Overwrite stored (non-trainable) buffers in-place from a pytree."""
+        for name in self._buffers:
+            if name in tree:
+                self._buffers[name] = jnp.asarray(tree[name])
+        for cname, child in self._children.items():
+            if cname in tree:
+                child.load_buffer_tree(tree[cname])
+
     # -- binding -------------------------------------------------------------------
     @contextlib.contextmanager
     def bind(self, params: Optional[Dict] = None, buffers: Optional[Dict] = None):

@@ -527,8 +527,10 @@ class Solver:
             num_fused_steps = self._auto_fuse_steps()
         if num_fused_steps > 1 and not self._lbfgs_mode_safe():
             if self._all_constraints_static():
-                return self._train_fused_static(num_fused_steps)
-            return self._train_fused(num_fused_steps)
+                self._train_fused_static(num_fused_steps)
+            else:
+                self._train_fused(num_fused_steps)
+            return self._sync_module()
         if self._train_step is None:
             self._train_step = self._build_lbfgs_step() if self._lbfgs_mode_safe() else self._build_train_step()
 
@@ -600,6 +602,20 @@ class Solver:
                     print_log=False,
                 )
                 self._last_save_t = now
+        self._sync_module()
+
+    def _sync_module(self) -> None:
+        """Write the final trained params/buffers back into the live module.
+
+        The jitted step donates the state pytree, which deletes the module's
+        original arrays — without this sync, using the model directly after
+        training (reference ergonomics: paddle layers own their weights,
+        e.g. an embedding model handed to a dataset) hits
+        'Array has been deleted'.
+        """
+        self.model.load_param_tree(self.state["params"])
+        if hasattr(self.model, "load_buffer_tree"):
+            self.model.load_buffer_tree(self.state["rest"])
 
     def _train_fused(self, k: int) -> None:
         """K-fused training driver (see train())."""
