@@ -35,6 +35,36 @@ class Arch(Module):
         self._input_transform: Optional[Callable] = None
         self._output_transform: Optional[Callable] = None
 
+    def __init_subclass__(cls, **kwargs):
+        """Apply registered input/output transforms around ``__call__`` for
+        every Arch subclass automatically (reference base.py applies them in
+        ``forward``). Classes whose ``__call__`` already references the
+        transform attributes are left untouched."""
+        super().__init_subclass__(**kwargs)
+        call = cls.__dict__.get("__call__")
+        if call is None or getattr(call, "_psci_transform_wrapped", False):
+            return
+        code = getattr(call, "__code__", None)
+        if code is not None and (
+            "_output_transform" in code.co_names or "_input_transform" in code.co_names
+        ):
+            return
+        import functools
+
+        @functools.wraps(call)
+        def wrapped(self, x, *args, **kw):
+            t_in = getattr(self, "_input_transform", None)
+            if t_in is not None:
+                x = t_in(x)
+            y = call(self, x, *args, **kw)
+            t_out = getattr(self, "_output_transform", None)
+            if t_out is not None:
+                y = t_out(x, y)
+            return y
+
+        wrapped._psci_transform_wrapped = True
+        cls.__call__ = wrapped
+
     # -- dict <-> tensor helpers (reference base.py:79-149) ------------------
     @staticmethod
     def concat_to_tensor(data_dict: Dict[str, jnp.ndarray], keys: Sequence[str], axis: int = -1) -> jnp.ndarray:

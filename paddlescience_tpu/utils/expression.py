@@ -129,26 +129,45 @@ def forward_with_derivatives(
         in_keys = tuple(model.input_keys)
         missing = [k for k in in_keys if k not in input_dict]
         if missing:
-            raise KeyError(f"model inputs {missing} not found in constraint inputs {list(input_dict)}")
+            if getattr(model, "_input_transform", None) is not None:
+                # the registered input transform maps constraint inputs to the
+                # model's declared feature keys (reference deephpms
+                # burgers.py:84-90): feed everything, differentiate w.r.t.
+                # the constraint coordinates
+                in_keys = tuple(k for k in input_dict if k not in ("area", "sdf"))
+            else:
+                raise KeyError(
+                    f"model inputs {missing} not found in constraint inputs {list(input_dict)}"
+                )
 
         # batched forward for the values themselves; output transforms that
         # call jacobian/hessian (or rename outputs) are lifted to tape level
         feed = {k: input_dict[k] for k in in_keys}
         transform = getattr(model, "_output_transform", None)
         batched_out, tape_level = None, False
+        has_coord_cols = any(
+            input_dict[k].ndim == 2 and input_dict[k].shape[-1] == 1 for k in in_keys
+        )
         if transform is not None:
             try:
                 batched_out = model(feed)
-                tape_level = set(batched_out) != set(model.output_keys)
+                # renamed outputs of a coordinate model need re-registration
+                # so downstream equations can differentiate them
+                tape_level = has_coord_cols and set(batched_out) != set(model.output_keys)
             except (ValueError, RuntimeError) as e:
                 if "tape" not in str(e).lower():
                     raise
-                tape_level = True
+                tape_level = True  # transform itself calls jacobian/hessian
         if tape_level:
             out.update(_forward_transform_on_tape(model, input_dict, tape))
             continue
         if batched_out is None:
             batched_out = model(feed)
+        if transform is not None and set(batched_out) != set(model.output_keys):
+            # non-coordinate model (CNN residual transform, reference
+            # phygeonet heat_equation.py:53-85): values pass through untracked
+            out.update(batched_out)
+            continue
 
         # separable/product-grid models (SPINN): per-axis coordinate vectors
         # of different lengths produce grid-shaped outputs -> grid stack
