@@ -28,15 +28,17 @@ class _Spectral1d(Module):
         self.w_im = Param(scale * jax.random.normal(rngs.params(), (channels, channels, modes)))
         self.modes = modes
 
-    def __call__(self, x):
-        # x: (B, N, C)
+    def __call__(self, x, out_size=None):
+        # x: (B, N, C); out_size resamples the output grid in Fourier space
+        # (reference geofno.py SpectralConv1d's output_size argument)
+        n_out = out_size or x.shape[1]
         xh = jnp.fft.rfft(x, axis=1)
         w = self.w_re + 1j * self.w_im
-        m = min(self.modes, xh.shape[1])
+        m = min(self.modes, xh.shape[1], n_out // 2 + 1)
         mixed = jnp.einsum("bmi,iom->bmo", xh[:, :m], w[..., :m])
-        out = jnp.zeros(xh.shape[:1] + (xh.shape[1], mixed.shape[-1]), xh.dtype)
+        out = jnp.zeros((xh.shape[0], n_out // 2 + 1, mixed.shape[-1]), xh.dtype)
         out = out.at[:, :m].set(mixed)
-        return jnp.fft.irfft(out, n=x.shape[1], axis=1)
+        return jnp.fft.irfft(out, n=n_out, axis=1) * (n_out / x.shape[1])
 
 
 class FNO1d(base.Arch):
@@ -65,6 +67,9 @@ class FNO1d(base.Arch):
         self.fc0 = Linear(input_channel, width, rngs=rngs)
         self.convs = [_Spectral1d(width, modes, rngs=rngs) for _ in range(4)]
         self.ws = [Linear(width, width, rngs=rngs) for _ in range(4)]
+        # 5th spectral conv resamples onto the output_np solution grid
+        # (reference geofno.py:195-198: conv4 + linear interpolation)
+        self.conv_out = _Spectral1d(width, modes, rngs=rngs)
         self.fc1 = Linear(width, 128, rngs=rngs)
         self.fc2 = Linear(128, 1, rngs=rngs)
 
@@ -74,15 +79,13 @@ class FNO1d(base.Arch):
         for i in range(4):
             h1 = self.convs[i](h)
             h2 = self.ws[i](h)
-            h = h1 + h2
-            if i < 3:
-                h = jax.nn.gelu(h)
+            h = jax.nn.gelu(h1 + h2)
         h = h[:, : h.shape[1] - self.padding]
+        h1 = self.conv_out(h, out_size=self.output_np)
+        h2 = jax.image.resize(h, (h.shape[0], self.output_np, h.shape[2]), "linear")
+        h = h1 + h2  # (B, output_np, W)
         h = jax.nn.gelu(self.fc1(h))
-        out = self.fc2(h)  # (B, N, 1)
-        # scalar head: mean over sampled solution points (reference returns
-        # per-batch scalar via final aggregation in the example pipeline)
-        return {self.output_keys[0]: jnp.mean(out[:, : self.output_np], axis=1)}
+        return {self.output_keys[0]: self.fc2(h)}
 
 
 class _VConv(Module):

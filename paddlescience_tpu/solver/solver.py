@@ -774,8 +774,8 @@ class Solver:
                 losses.append(float(sum(jax.device_get(list(loss_dict.values())))))
                 for k in v.output_keys:
                     all_out.setdefault(k, []).append(np.asarray(out[k]))
-                    if k in lab:  # functional metrics may have no label per key
-                        all_lab.setdefault(k, []).append(np.asarray(lab[k]))
+                for k in lab:  # keep every label key (functional metrics may
+                    all_lab.setdefault(k, []).append(np.asarray(lab[k]))  # use labels not named like outputs)
 
             metric_group[name] = {}
             if self.compute_metric_by_batch:
