@@ -8,11 +8,11 @@ Design notes (TPU):
   * spectral convs ride ``jnp.fft.rfftn`` (XLA TPU FFT) + one complex einsum
     per spectral corner — the einsum lowers to MXU matmuls over channels;
   * weights are stored as real/imag Param pairs (optimizers see real pytrees);
-  * dense parametrization implements the reference's default exactly; the
-    'cp' factorization stores rank-R factors and contracts factorized (the
-    reference's 'factorized' implementation mode); 'tucker' currently maps to
-    dense with the same interface (judge note: interface parity, math
-    upgrade later).
+  * dense parametrization implements the reference's default exactly;
+    'cp' stores rank-R outer-product factors, 'tucker' a rank-reduced core +
+    per-mode factor matrices (reference fno_block.py:542-1045 via tltorch) —
+    both contract in factorized form without materializing dense weights,
+    and parameter counts scale with ``rank``.
   * I/O layout matches the reference: (B, C, *spatial) channel-first.
 """
 
@@ -29,6 +29,13 @@ from paddlescience_tpu.arch import base
 from paddlescience_tpu.nn.core import Module, Param, Rngs
 
 __all__ = ["SpectralConv", "FNOBlocks", "DomainPadding", "FNONet", "TFNO1dNet", "TFNO2dNet", "TFNO3dNet"]
+
+
+def _np_prod(shape):
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
 
 
 def _complex_param(rngs: Rngs, shape, scale):
@@ -71,13 +78,81 @@ class SpectralConv(Module):
         wshape = (
             (in_channels,) + self.n_modes if separable else (in_channels, out_channels) + self.n_modes
         )
+        if separable and self.factorization != "dense":
+            raise ValueError("separable spectral convs support only dense weights")
+        self.rank = float(rank)
         for ci, _ in enumerate(self.corners):
-            re, im = _complex_param(rngs, wshape, scale)
-            setattr(self, f"w{ci}_re", re)
-            setattr(self, f"w{ci}_im", im)
+            if self.factorization == "dense" or separable:
+                re, im = _complex_param(rngs, wshape, scale)
+                setattr(self, f"w{ci}_re", re)
+                setattr(self, f"w{ci}_im", im)
+            elif self.factorization == "cp":
+                # W = sum_r lam_r a_r(I) o b_r(O) o f1_r(m1) o ... (reference
+                # fno_block.py:569-609 'factorized' CP contraction)
+                R = max(1, int(self.rank * _np_prod(wshape) / max(sum(wshape), 1)))
+                self.cp_rank = R
+                s = scale ** (1.0 / (2 + self.ndim))
+                for fi, dim in enumerate(wshape):
+                    re, im = _complex_param(rngs, (dim, R), s)
+                    setattr(self, f"w{ci}_f{fi}_re", re)
+                    setattr(self, f"w{ci}_f{fi}_im", im)
+                setattr(self, f"w{ci}_lam_re", Param(jnp.ones((R,))))
+                setattr(self, f"w{ci}_lam_im", Param(jnp.zeros((R,))))
+            elif self.factorization == "tucker":
+                # W = G x1 A_I x2 A_O x3 F1 ... (reference tltorch TuckerTensor
+                # used by fno_block.py:569; mode ranks scale with `rank`)
+                tranks = tuple(max(1, int(math.ceil(self.rank * d))) for d in wshape)
+                self.tucker_ranks = tranks
+                s = scale ** (1.0 / (2 + self.ndim))
+                re, im = _complex_param(rngs, tranks, s)
+                setattr(self, f"w{ci}_core_re", re)
+                setattr(self, f"w{ci}_core_im", im)
+                for fi, (dim, r) in enumerate(zip(wshape, tranks)):
+                    re, im = _complex_param(rngs, (dim, r), s)
+                    setattr(self, f"w{ci}_f{fi}_re", re)
+                    setattr(self, f"w{ci}_f{fi}_im", im)
+            else:
+                raise ValueError(
+                    f"unknown factorization '{self.factorization}' (dense|cp|tucker)")
 
     def _weight(self, ci):
         return getattr(self, f"w{ci}_re") + 1j * getattr(self, f"w{ci}_im")
+
+    def _cfac(self, ci, fi):
+        return getattr(self, f"w{ci}_f{fi}_re") + 1j * getattr(self, f"w{ci}_f{fi}_im")
+
+    _MODE_AX = "jklmn"  # einsum letters for up to 5 spatial mode axes
+
+    def _contract(self, ci, xc):
+        """Apply this corner's weight to xc (B, I, *modes) -> (B, O, *modes),
+        in factorized form (dense weights are never materialized)."""
+        mx = self._MODE_AX[: self.ndim]
+        if self.separable:
+            return xc * self._weight(ci)[None]
+        if self.factorization == "dense":
+            return jnp.einsum(f"bi{mx},io{mx}->bo{mx}", xc, self._weight(ci))
+        if self.factorization == "cp":
+            lam = getattr(self, f"w{ci}_lam_re") + 1j * getattr(self, f"w{ci}_lam_im")
+            a = self._cfac(ci, 0)  # (I, R)
+            b = self._cfac(ci, 1)  # (O, R)
+            t = jnp.einsum(f"bi{mx},ir->br{mx}", xc, a)
+            for d in range(self.ndim):
+                f = self._cfac(ci, 2 + d)  # (m_d, R)
+                bshape = (1, f.shape[1]) + (1,) * d + (f.shape[0],) + (1,) * (self.ndim - d - 1)
+                t = t * f.T.reshape(bshape)
+            return jnp.einsum(f"br{mx},or,r->bo{mx}", t, b, lam)
+        # tucker: expand core over mode factors -> (rI, rO, *modes), then
+        # project channels through A_I / A_O
+        core = getattr(self, f"w{ci}_core_re") + 1j * getattr(self, f"w{ci}_core_im")
+        a_i = self._cfac(ci, 0)  # (I, rI)
+        a_o = self._cfac(ci, 1)  # (O, rO)
+        g = core
+        for d in range(self.ndim):
+            f = self._cfac(ci, 2 + d)  # (m_d, r_d)
+            g = jnp.moveaxis(jnp.tensordot(g, f, axes=([2 + d], [1])), -1, 2 + d)
+        # g: (rI, rO, *modes)
+        t = jnp.einsum(f"bi{mx},ip->bp{mx}", xc, a_i)
+        return jnp.einsum(f"bp{mx},pq{mx},oq->bo{mx}", t, g, a_o)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (B, C, *spatial)
@@ -95,13 +170,7 @@ class SpectralConv(Module):
                 slices.append(slice(0, m) if sign == 0 else slice(-m, None))
             slices.append(slice(0, self.n_modes[-1]))  # rfft last dim
             slices = tuple(slices)
-            w = self._weight(ci)
-            xc = x_hat[slices]
-            if self.separable:
-                yc = xc * w[None]
-            else:
-                # contract channels: (B, i, *m), (i, o, *m) -> (B, o, *m)
-                yc = jnp.einsum("bi...,io...->bo...", xc, w)
+            yc = self._contract(ci, x_hat[slices])
             out_hat = out_hat.at[slices].set(yc)
 
         return jnp.fft.irfftn(out_hat, s=spatial, axes=fft_axes, norm=self.fft_norm)

@@ -112,3 +112,47 @@ def test_output_transform():
     model.register_output_transform(lambda inp, out: {"u": out["u"] * 0 + 7.0})
     out = jax.jit(model)({"x": jnp.ones((4, 1))})
     np.testing.assert_allclose(np.asarray(out["u"]), 7.0)
+
+
+def test_spectral_conv_factorizations():
+    """CP/Tucker factorized spectral convs (reference fno_block.py:542-1045):
+    params scale with rank, and the factorized contraction equals the dense
+    contraction with the reconstructed weight."""
+    import jax
+    import jax.numpy as jnp
+    from paddlescience_tpu.arch.fno import SpectralConv
+
+    x = jnp.asarray(np.random.rand(2, 4, 12, 12).astype(np.float32))
+
+    def n_params(m):
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(m.param_tree()))
+
+    dense = SpectralConv(4, 6, (5, 5), rngs=psci.nn.Rngs(0))
+    tuck_hi = SpectralConv(4, 6, (5, 5), factorization="tucker", rank=1.0, rngs=psci.nn.Rngs(0))
+    tuck_lo = SpectralConv(4, 6, (5, 5), factorization="tucker", rank=0.25, rngs=psci.nn.Rngs(0))
+    cp = SpectralConv(4, 6, (5, 5), factorization="cp", rank=0.5, rngs=psci.nn.Rngs(0))
+    assert n_params(tuck_lo) < n_params(tuck_hi)
+    assert n_params(cp) < n_params(dense)
+
+    for m in (dense, tuck_hi, tuck_lo, cp):
+        y = m(x)
+        assert y.shape == (2, 6, 12, 12)
+        assert np.isfinite(np.asarray(y)).all()
+
+    # factorized contraction == dense contraction with reconstructed weight
+    for fac in ("tucker", "cp"):
+        m = SpectralConv(4, 6, (5, 5), factorization=fac, rank=0.5, rngs=psci.nn.Rngs(1))
+        xc = jnp.asarray((np.random.rand(2, 4, 5, 5) + 1j * np.random.rand(2, 4, 5, 5)).astype(np.complex64))
+        if fac == "cp":
+            lam = m.w0_lam_re + 1j * m.w0_lam_im
+            a, b = m._cfac(0, 0), m._cfac(0, 1)
+            f1, f2 = m._cfac(0, 2), m._cfac(0, 3)
+            w = jnp.einsum("r,ir,or,jr,kr->iojk", lam, a, b, f1, f2)
+        else:
+            core = m.w0_core_re + 1j * m.w0_core_im
+            a, b = m._cfac(0, 0), m._cfac(0, 1)
+            f1, f2 = m._cfac(0, 2), m._cfac(0, 3)
+            w = jnp.einsum("pqrs,ip,oq,jr,ks->iojk", core, a, b, f1, f2)
+        y_fac = m._contract(0, xc)
+        y_dense = jnp.einsum("bijk,iojk->bojk", xc, w)
+        np.testing.assert_allclose(np.asarray(y_fac), np.asarray(y_dense), rtol=2e-4, atol=1e-5)
