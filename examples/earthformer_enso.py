@@ -22,7 +22,7 @@ def build_solver(epochs=3, output_dir="./output_earthformer_enso"):
         ("sst",), ("target",),
         input_shape=(IN_LEN, LAT, LON, 1),
         target_shape=(OUT_LEN, LAT, LON, 1),
-        base_units=32, num_heads=4, enc_depth=(1, 1), dec_depth=(1,),
+        base_units=32, num_heads=4, enc_depth=(1, 1), dec_depth=(1, 1),
         cuboid_size=(2, 4, 4),
     )
     dl = {

@@ -48,6 +48,7 @@ if _os.environ.get("PSCI_DEBUG_NANS", "0") == "1":
 _cpu_pinned = (
     _os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu"
     or _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+    or (getattr(jax.config, "jax_platforms", None) or "").lower() == "cpu"
 )
 if _os.environ.get("PSCI_DISABLE_COMPILE_CACHE", "0") != "1" and not _cpu_pinned:
     jax.config.update("jax_compilation_cache_dir", _os.path.expanduser("~/.cache/jax"))

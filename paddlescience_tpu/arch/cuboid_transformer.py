@@ -1,16 +1,29 @@
-"""CuboidTransformer — Earthformer space-time transformer
-(reference ``ppsci/arch/cuboid_transformer*.py``, ~5k LoC).
+"""CuboidTransformer — Earthformer space-time transformer at reference
+fidelity (reference ``ppsci/arch/cuboid_transformer.py`` +
+``cuboid_transformer_encoder.py`` + ``cuboid_transformer_decoder.py``,
+~4k LoC).
 
-Compact TPU-native implementation of the core mechanism: input/output
-patch embedding, hierarchical encoder/decoder with **cuboid attention** —
-the (T, H, W) token volume is partitioned into local cuboids and full
-attention runs within each cuboid (optionally shifted between layers), with
-global vectors attending across cuboids. Decomposed local attention is what
-makes long spatiotemporal sequences fit on one chip (SURVEY §5.7); each
-cuboid's attention is a batched dense matmul on the MXU.
+Non-autoregressive encoder-decoder:
 
-Checkpointing hook: pass remat=True to wrap each block in jax.checkpoint
-(the reference uses fleet recompute, cuboid_transformer_encoder.py:1170).
+  x -> initial conv encoder -> (+pos) -> hierarchical encoder -> mem_l
+                                                                   |
+  y <- final conv decoder <- hierarchical decoder (self + cross) <-+
+                             ^ initial_z = nearest-interp(mem_l[-1], T_out)
+
+TPU-native design choices vs the reference's implementation:
+  * cuboid partition/merge are pure reshapes/transposes; each cuboid's
+    attention is one batched dense matmul on the MXU (no masking paths —
+    shapes are padded to cuboid multiples up front);
+  * **global vectors** ride every self-attention block: cuboid tokens attend
+    over [cuboid ∪ global] keys and the globals update by attending over all
+    tokens (reference cuboid_transformer_encoder.py:681-1165);
+  * hierarchy: PatchMerge downsampling between encoder levels, nearest
+    upsample + conv between decoder levels, channels doubling per level
+    (reference downsample_type="patch_merge", upsample_type="upsample");
+  * decoder blocks alternate self-attention and **cross-attention** into the
+    matching encoder memory level (reference CuboidCrossAttentionLayer);
+  * remat=True wraps each block in jax.checkpoint (reference fleet
+    recompute, cuboid_transformer_encoder.py:1170-1210).
 """
 
 from __future__ import annotations
@@ -22,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from paddlescience_tpu.arch import base
-from paddlescience_tpu.nn.core import Module, Param, Rngs
+from paddlescience_tpu.nn.core import Module, ModuleList, Param, Rngs
 from paddlescience_tpu.nn.layers import Conv, LayerNorm, Linear
 from paddlescience_tpu.utils import initializer
 
@@ -46,61 +59,81 @@ def _merge_cuboids(x, cuboid, shape):
     return x.reshape(B, T, H, W, C)
 
 
-class CuboidSelfAttention(Module):
-    """Full attention within local cuboids, optional shift."""
+def _mha(q, k, v, heads):
+    """Batched multi-head attention: q (B, Lq, C), k/v (B, Lk, C)."""
+    B, Lq, C = q.shape
+    d = C // heads
+    q = q.reshape(B, Lq, heads, d)
+    k = k.reshape(B, k.shape[1], heads, d)
+    v = v.reshape(B, v.shape[1], heads, d)
+    att = jax.nn.softmax(jnp.einsum("blhd,bmhd->bhlm", q, k) / math.sqrt(d), axis=-1)
+    return jnp.einsum("bhlm,bmhd->blhd", att, v).reshape(B, Lq, C)
 
-    def __init__(self, dim: int, num_heads: int, cuboid_size: Tuple[int, int, int], shift: bool, *, rngs: Rngs):
+
+class CuboidSelfAttention(Module):
+    """Full attention within local cuboids with optional shift and global
+    vectors (reference CuboidSelfAttentionLayer + global-vector path)."""
+
+    def __init__(self, dim: int, num_heads: int, cuboid_size: Tuple[int, int, int],
+                 shift: bool, use_global: bool = False, *, rngs: Rngs):
         self.qkv = Linear(dim, 3 * dim, rngs=rngs)
         self.proj = Linear(dim, dim, rngs=rngs)
         self.h = num_heads
         self.cuboid = tuple(cuboid_size)
         self.shift = shift
+        self.use_global = use_global
+        if use_global:
+            # separate kv projection for global tokens + global update attn
+            self.g_kv = Linear(dim, 2 * dim, rngs=rngs)
+            self.g_q = Linear(dim, dim, rngs=rngs)
+            self.g_out = Linear(dim, dim, rngs=rngs)
 
-    def __call__(self, x):
+    def __call__(self, x, g=None):
         B, T, H, W, C = x.shape
         cub = tuple(min(c, s) for c, s in zip(self.cuboid, (T, H, W)))
         if self.shift:
             sh = tuple(c // 2 for c in cub)
             x = jnp.roll(x, shift=(-sh[0], -sh[1], -sh[2]), axis=(1, 2, 3))
-        tok = _partition_cuboids(x, cub)  # (B*, L, C)
+        tok = _partition_cuboids(x, cub)  # (B*nc, L, C)
         Bn, L, _ = tok.shape
-        qkv = self.qkv(tok).reshape(Bn, L, 3, self.h, C // self.h)
+        qkv = self.qkv(tok).reshape(Bn, L, 3, C)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        att = jax.nn.softmax(jnp.einsum("blhd,bmhd->bhlm", q, k) / math.sqrt(C // self.h), axis=-1)
-        out = jnp.einsum("bhlm,bmhd->blhd", att, v).reshape(Bn, L, C)
-        out = self.proj(out)
+        if self.use_global and g is not None:
+            # every cuboid also attends over the (B, G, C) global tokens
+            G = g.shape[1]
+            g_kv = self.g_kv(g).reshape(B, G, 2, C)
+            nc = Bn // B
+            gk = jnp.repeat(g_kv[:, :, 0], nc, axis=0)
+            gv = jnp.repeat(g_kv[:, :, 1], nc, axis=0)
+            k = jnp.concatenate([k, gk], axis=1)
+            v = jnp.concatenate([v, gv], axis=1)
+        out = self.proj(_mha(q, k, v, self.h))
         y = _merge_cuboids(out, cub, (B, T, H, W, C))
         if self.shift:
             y = jnp.roll(y, shift=(sh[0], sh[1], sh[2]), axis=(1, 2, 3))
-        return y
+        if self.use_global and g is not None:
+            # globals update by attending over ALL tokens (reference
+            # global_vectors update path)
+            flat = x.reshape(B, T * H * W, C)
+            gq = self.g_q(g)
+            g_new = g + self.g_out(_mha(gq, flat, flat, self.h))
+            return y, g_new
+        return y, g
 
 
-class _CuboidBlock(Module):
-    def __init__(self, dim, num_heads, cuboid_size, shift, mlp_ratio, num_experts=0, *, rngs: Rngs):
-        self.ln1 = LayerNorm(dim)
-        self.attn = CuboidSelfAttention(dim, num_heads, cuboid_size, shift, rngs=rngs)
-        self.ln2 = LayerNorm(dim)
-        self.use_moe = num_experts > 0
-        if self.use_moe:
-            self.moe = _MoEFFN(dim, int(dim * mlp_ratio), num_experts, rngs=rngs)
-        else:
-            self.fc1 = Linear(dim, int(dim * mlp_ratio), rngs=rngs)
-            self.fc2 = Linear(int(dim * mlp_ratio), dim, rngs=rngs)
+class _FFN(Module):
+    def __init__(self, dim, hidden, *, rngs: Rngs):
+        self.fc1 = Linear(dim, hidden, rngs=rngs)
+        self.fc2 = Linear(hidden, dim, rngs=rngs)
 
     def __call__(self, x):
-        x = x + self.attn(self.ln1(x))
-        if self.use_moe:
-            return x + self.moe(self.ln2(x))
-        x = x + self.fc2(jax.nn.gelu(self.fc1(self.ln2(x))))
-        return x
+        return self.fc2(jax.nn.gelu(self.fc1(x)))
 
 
 class _MoEFFN(Module):
     """Dense token-choice mixture-of-experts FFN (reference
     extformer_moe_cuboid*.py — the reference's MoE is also single-device
-    dense routing, SURVEY §2.3). Top-1 gating with a load-balancing-friendly
-    softmax; all experts computed densely and gathered by gate weight —
-    compiler-friendly (no dynamic shapes), fine for expert counts <= 8."""
+    dense routing, SURVEY §2.3)."""
 
     def __init__(self, dim, hidden, num_experts, *, rngs: Rngs):
         self.gate = Linear(dim, num_experts, rngs=rngs)
@@ -109,12 +142,157 @@ class _MoEFFN(Module):
         self.num_experts = num_experts
 
     def __call__(self, x):
-        gates = jax.nn.softmax(self.gate(x), axis=-1)  # (..., E)
+        gates = jax.nn.softmax(self.gate(x), axis=-1)
         outs = jnp.stack(
             [self.experts_out[e](jax.nn.gelu(self.experts_in[e](x))) for e in range(self.num_experts)],
             axis=-1,
-        )  # (..., C, E)
+        )
         return jnp.einsum("...ce,...e->...c", outs, gates)
+
+
+class _CuboidBlock(Module):
+    """Pre-norm self-attention + FFN, with global-vector pathway."""
+
+    def __init__(self, dim, num_heads, cuboid_size, shift, mlp_ratio,
+                 num_experts=0, use_global=False, *, rngs: Rngs):
+        self.ln1 = LayerNorm(dim)
+        self.attn = CuboidSelfAttention(dim, num_heads, cuboid_size, shift,
+                                        use_global=use_global, rngs=rngs)
+        self.ln2 = LayerNorm(dim)
+        self.use_moe = num_experts > 0
+        self.use_global = use_global
+        if self.use_moe:
+            self.moe = _MoEFFN(dim, int(dim * mlp_ratio), num_experts, rngs=rngs)
+        else:
+            self.ffn = _FFN(dim, int(dim * mlp_ratio), rngs=rngs)
+        if use_global:
+            self.g_ln = LayerNorm(dim)
+            self.g_ffn = _FFN(dim, int(dim * mlp_ratio), rngs=rngs)
+
+    def __call__(self, x, g=None):
+        a, g = self.attn(self.ln1(x), g)
+        x = x + a
+        if self.use_moe:
+            x = x + self.moe(self.ln2(x))
+        else:
+            x = x + self.ffn(self.ln2(x))
+        if self.use_global and g is not None:
+            g = g + self.g_ffn(self.g_ln(g))
+        return x, g
+
+
+class _CrossBlock(Module):
+    """Decoder cross-attention into one encoder memory level (reference
+    CuboidCrossAttentionLayer: queries from the decoder volume, keys/values
+    from memory, partitioned over (H, W) cuboids with the full T collapsed)."""
+
+    def __init__(self, dim, num_heads, cuboid_hw, mlp_ratio, use_global=False, *, rngs: Rngs):
+        self.ln_q = LayerNorm(dim)
+        self.ln_kv = LayerNorm(dim)
+        self.q = Linear(dim, dim, rngs=rngs)
+        self.kv = Linear(dim, 2 * dim, rngs=rngs)
+        self.proj = Linear(dim, dim, rngs=rngs)
+        self.ln2 = LayerNorm(dim)
+        self.ffn = _FFN(dim, int(dim * mlp_ratio), rngs=rngs)
+        self.h = num_heads
+        self.cuboid_hw = tuple(cuboid_hw)
+        self.use_global = use_global
+        if use_global:
+            self.g_kv = Linear(dim, 2 * dim, rngs=rngs)
+
+    def __call__(self, x, mem, g=None):
+        B, T_q, H, W, C = x.shape
+        T_m = mem.shape[1]
+        ch, cw = (min(self.cuboid_hw[0], H), min(self.cuboid_hw[1], W))
+        qt = _partition_cuboids(self.ln_q(x), (T_q, ch, cw))  # (B*nc, Tq*ch*cw, C)
+        kvt = _partition_cuboids(self.ln_kv(mem), (T_m, ch, cw))
+        q = self.q(qt)
+        kv = self.kv(kvt).reshape(kvt.shape[0], kvt.shape[1], 2, C)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+        if self.use_global and g is not None:
+            G = g.shape[1]
+            g_kv = self.g_kv(g).reshape(B, G, 2, C)
+            nc = q.shape[0] // B
+            k = jnp.concatenate([k, jnp.repeat(g_kv[:, :, 0], nc, axis=0)], axis=1)
+            v = jnp.concatenate([v, jnp.repeat(g_kv[:, :, 1], nc, axis=0)], axis=1)
+        out = self.proj(_mha(q, k, v, self.h))
+        y = _merge_cuboids(out, (T_q, ch, cw), (B, T_q, H, W, C))
+        x = x + y
+        return x + self.ffn(self.ln2(x))
+
+
+class _PatchMerge(Module):
+    """2x2 spatial merge + channel projection (reference
+    PatchMerging3D, cuboid_transformer_encoder.py)."""
+
+    def __init__(self, dim, out_dim, *, rngs: Rngs):
+        self.norm = LayerNorm(4 * dim)
+        self.reduction = Linear(4 * dim, out_dim, rngs=rngs)
+
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        pad_h, pad_w = H % 2, W % 2
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            H, W = H + pad_h, W + pad_w
+        x = x.reshape(B, T, H // 2, 2, W // 2, 2, C)
+        x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, T, H // 2, W // 2, 4 * C)
+        return self.reduction(self.norm(x))
+
+
+class _Upsample3D(Module):
+    """Nearest spatial upsample + conv (reference Upsample3DLayer,
+    cuboid_transformer_decoder.py:748)."""
+
+    def __init__(self, dim, out_dim, kernel=3, *, rngs: Rngs):
+        self.conv = Conv(dim, out_dim, (kernel, kernel), padding="SAME", rngs=rngs)
+
+    def __call__(self, x, target_hw):
+        B, T, H, W, C = x.shape
+        x = x.reshape(B * T, H, W, C)
+        x = jax.image.resize(x, (B * T, target_hw[0], target_hw[1], C), "nearest")
+        x = self.conv(x)
+        return x.reshape(B, T, target_hw[0], target_hw[1], -1)
+
+
+class _InitialEncoder(Module):
+    """K x Conv2D downsample stack + projection (reference InitialEncoder,
+    cuboid_transformer.py:19-118)."""
+
+    def __init__(self, c_in, dim, num_conv=2, *, rngs: Rngs):
+        convs = []
+        c = c_in
+        for _ in range(num_conv):
+            convs.append(Conv(c, dim, (3, 3), padding="SAME", rngs=rngs))
+            c = dim
+        self.convs = convs
+        self.norm = LayerNorm(dim)
+
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        h = x.reshape(B * T, H, W, C)
+        for conv in self.convs:
+            h = jax.nn.leaky_relu(conv(h), 0.1)
+        h = h.reshape(B, T, H, W, -1)
+        return self.norm(h)
+
+
+class _FinalDecoder(Module):
+    """K x Conv2D + projection head (reference FinalDecoder,
+    cuboid_transformer.py:120-194)."""
+
+    def __init__(self, dim, c_out, num_conv=2, *, rngs: Rngs):
+        self.convs = [Conv(dim, dim, (3, 3), padding="SAME", rngs=rngs) for _ in range(num_conv)]
+        self.norm = LayerNorm(dim)
+        self.head = Linear(dim, c_out, rngs=rngs)
+
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+        h = x.reshape(B * T, H, W, C)
+        for conv in self.convs:
+            h = jax.nn.leaky_relu(conv(h), 0.1)
+        h = h.reshape(B, T, H, W, C)
+        return self.head(self.norm(h))
 
 
 class ExtFormerMoECuboid(base.Arch):
@@ -141,10 +319,12 @@ class ExtFormerMoECuboid(base.Arch):
 
 
 class CuboidTransformer(base.Arch):
-    """Earthformer-style encoder-decoder for spatiotemporal forecasting.
+    """Earthformer-style hierarchical encoder-decoder for spatiotemporal
+    forecasting (reference cuboid_transformer.py:415-958).
 
-    I/O: input (B, T_in, H, W, C_in) -> output (B, T_out, H, W, C_out)
-    (reference cuboid_transformer.py CuboidTransformerModel contract).
+    I/O: input (B, T_in, H, W, C_in) -> output (B, T_out, H, W, C_out).
+    ``enc_depth``/``dec_depth`` give per-level block counts; spatial
+    resolution halves (PatchMerge) and channels double between levels.
     """
 
     def __init__(
@@ -162,6 +342,10 @@ class CuboidTransformer(base.Arch):
         downsample: int = 2,
         remat: bool = False,
         num_experts: int = 0,
+        num_global_vectors: int = 4,
+        dec_cross_cuboid_hw: Tuple[int, int] = (4, 4),
+        initial_conv_layers: int = 2,
+        final_conv_layers: int = 2,
         *,
         rngs: Optional[Rngs] = None,
         **kwargs,
@@ -173,41 +357,102 @@ class CuboidTransformer(base.Arch):
         self.output_keys = tuple(output_keys)
         T_in, H, W, C_in = input_shape
         T_out, _, _, C_out = target_shape
-        self.T_out, self.C_out = T_out, C_out
+        self.T_in, self.T_out, self.C_out = T_in, T_out, C_out
         self.remat = remat
-        self.patch_embed = Linear(C_in, base_units, rngs=rngs)
-        self.pos = Param(initializer.trunc_normal_(0.0, 0.02)(rngs.params(), (1, T_in, H, W, base_units)))
+        self.num_levels = len(enc_depth)
+        if len(dec_depth) != self.num_levels:
+            raise ValueError(f"dec_depth {dec_depth} must have one entry per encoder level {enc_depth}")
+        self.num_global = num_global_vectors
 
-        dim = base_units
-        enc_blocks = []
-        for depth in enc_depth:
-            for d in range(depth):
-                enc_blocks.append(_CuboidBlock(dim, num_heads, cuboid_size, (d % 2 == 1), mlp_ratio, num_experts, rngs=rngs))
-        self.enc_blocks = enc_blocks  # assign complete list: registers children
-        # temporal projection to target length
-        self.time_proj = Linear(T_in, T_out, rngs=rngs)
-        dec_blocks = []
-        for depth in dec_depth:
-            for d in range(depth):
-                dec_blocks.append(_CuboidBlock(dim, num_heads, cuboid_size, (d % 2 == 1), mlp_ratio, num_experts, rngs=rngs))
-        self.dec_blocks = dec_blocks
-        self.head = Linear(dim, C_out, rngs=rngs)
+        dims = [base_units * (2**i) for i in range(self.num_levels)]
+        self.dims = dims
+        hw = [(max(H >> i, 1), max(W >> i, 1)) for i in range(self.num_levels)]
+        self.hw = hw
+
+        self.initial_encoder = _InitialEncoder(C_in, base_units, initial_conv_layers, rngs=rngs)
+        self.pos = Param(initializer.trunc_normal_(0.0, 0.02)(rngs.params(), (1, T_in, H, W, base_units)))
+        if self.num_global > 0:
+            self.init_global = Param(
+                initializer.trunc_normal_(0.0, 0.02)(rngs.params(), (1, self.num_global, base_units)))
+            # per-level global projections track the channel doubling
+            self.g_proj = [Linear(dims[i], dims[i + 1], rngs=rngs) for i in range(self.num_levels - 1)]
+
+        enc_levels, mergers = [], []
+        for lev, depth in enumerate(enc_depth):
+            blocks = [
+                _CuboidBlock(dims[lev], num_heads, cuboid_size, (d % 2 == 1), mlp_ratio,
+                             num_experts, use_global=self.num_global > 0, rngs=rngs)
+                for d in range(depth)
+            ]
+            enc_levels.append(ModuleList(blocks))
+            if lev < self.num_levels - 1:
+                mergers.append(_PatchMerge(dims[lev], dims[lev + 1], rngs=rngs))
+        self.enc_levels = enc_levels
+        self.mergers = mergers
+
+        # decoder: coarsest -> finest; per level [self + cross] x depth, then upsample
+        dec_self, dec_cross, upsamplers = [], [], []
+        for lev in reversed(range(self.num_levels)):
+            dec_self.append(ModuleList([
+                _CuboidBlock(dims[lev], num_heads, cuboid_size, (d % 2 == 1), mlp_ratio,
+                             num_experts, use_global=False, rngs=rngs)
+                for d in range(dec_depth[lev])
+            ]))
+            dec_cross.append(ModuleList([
+                _CrossBlock(dims[lev], num_heads, dec_cross_cuboid_hw, mlp_ratio,
+                            use_global=self.num_global > 0, rngs=rngs)
+                for _ in range(dec_depth[lev])
+            ]))
+            if lev > 0:
+                upsamplers.append(_Upsample3D(dims[lev], dims[lev - 1], rngs=rngs))
+        self.dec_self = dec_self
+        self.dec_cross = dec_cross
+        self.upsamplers = upsamplers
+
+        self.final_decoder = _FinalDecoder(base_units, C_out, final_conv_layers, rngs=rngs)
+
+    def _maybe_ckpt(self, fn, *args):
+        return jax.checkpoint(fn)(*args) if self.remat else fn(*args)
 
     def __call__(self, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         if self._input_transform is not None:
             x = self._input_transform(x)
         h = x[self.input_keys[0]]  # (B, T, H, W, C)
-        h = self.patch_embed(h) + self.pos
-        blocks = self.enc_blocks
-        for blk in blocks:
-            h = jax.checkpoint(blk)(h) if self.remat else blk(h)
-        # project time axis T_in -> T_out
-        h = jnp.swapaxes(h, 1, -1)  # (B, C, H, W, T_in)
-        h = self.time_proj(h)
-        h = jnp.swapaxes(h, 1, -1)
-        for blk in self.dec_blocks:
-            h = jax.checkpoint(blk)(h) if self.remat else blk(h)
-        out = self.head(h)
+        B = h.shape[0]
+        h = self.initial_encoder(h) + self.pos
+
+        g = None
+        if self.num_global > 0:
+            g = jnp.broadcast_to(self.init_global, (B,) + self.init_global.shape[1:])
+
+        # ---- hierarchical encoder: collect one memory per level -----------
+        mem_l, g_l = [], []
+        for lev, blocks in enumerate(self.enc_levels):
+            for blk in blocks:
+                h, g = self._maybe_ckpt(blk, h, g)
+            mem_l.append(h)
+            g_l.append(g)
+            if lev < self.num_levels - 1:
+                h = self.mergers[lev](h)
+                if g is not None:
+                    g = self.g_proj[lev](g)
+
+        # ---- initial z: nearest-interp of the coarsest memory along T -----
+        final_mem = mem_l[-1]
+        idx = jnp.clip(
+            (jnp.arange(self.T_out) * final_mem.shape[1]) // max(self.T_out, 1),
+            0, final_mem.shape[1] - 1)
+        z = jnp.take(final_mem, idx, axis=1)
+
+        # ---- hierarchical decoder: coarse -> fine, cross into memories ----
+        for i, lev in enumerate(reversed(range(self.num_levels))):
+            for sblk, cblk in zip(self.dec_self[i], self.dec_cross[i]):
+                z, _ = self._maybe_ckpt(sblk, z, None)
+                z = self._maybe_ckpt(cblk, z, mem_l[lev], g_l[lev])
+            if lev > 0:
+                z = self.upsamplers[i](z, self.hw[lev - 1])
+
+        out = self.final_decoder(z)
         result = {self.output_keys[0]: out}
         if self._output_transform is not None:
             result = self._output_transform(x, result)

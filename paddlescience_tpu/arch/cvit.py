@@ -207,7 +207,11 @@ class CVit(base.Arch):
         self.coord_norm = LayerNorm(dec_emb_dim, epsilon=eps)
 
         self.patch_conv = Conv(in_dim, emb_dim, tuple(patch_size), strides=tuple(patch_size), padding="VALID", rngs=rngs)
-        n_patches = (spatial_dims[0] // patch_size[0]) * (spatial_dims[1] // patch_size[1])
+        # spatio-temporal patching: spatial_dims may be (H, W) or (T, H, W)
+        # (reference ns_cvit: patch_size (1, 8, 8) over (T, H, W, C) frames)
+        n_patches = 1
+        for d, p in zip(spatial_dims, patch_size):
+            n_patches *= d // p
         self.pos_emb = Param(initializer.normal_(0.0, 0.02)(rngs.params(), (1, n_patches, emb_dim)))
         self.enc_blocks = [_Block(emb_dim, num_heads, mlp_ratio, eps, rngs=rngs) for _ in range(depth)]
         self.enc_norm = LayerNorm(emb_dim, epsilon=eps)

@@ -69,20 +69,29 @@ def shard_batch(tree, mesh: Optional[Mesh] = None, allow_replicate: bool = False
     Pass ``allow_replicate=True`` to opt in to replication explicitly."""
     mesh = mesh or get_default_mesh()
     n_data = mesh.shape["data"]
+    n_proc = jax.process_count()
+    # per-process view: the host batch is this process's rank shard
+    # (BatchLoader strides by process); the device requirement is the
+    # per-process slice of the data axis
+    n_data_local = max(n_data // n_proc, 1) if n_proc > 1 else n_data
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] > 0 and x.shape[0] % n_data == 0:
+        if x.ndim >= 1 and x.shape[0] > 0 and x.shape[0] % n_data_local == 0:
             spec = P("data", *([None] * (x.ndim - 1)))
-        elif x.ndim >= 1 and x.shape[0] >= n_data and not allow_replicate:
+            sharding = NamedSharding(mesh, spec)
+            if n_proc > 1:
+                # assemble the global array from per-process shards
+                # (reference DistributedBatchSampler analog, SURVEY §2.3)
+                return jax.make_array_from_process_local_data(sharding, x)
+            return jax.device_put(x, sharding)
+        if x.ndim >= 1 and x.shape[0] >= n_data_local and not allow_replicate:
             raise ValueError(
                 f"batch leading dim {x.shape[0]} does not divide the data-parallel "
-                f"axis ({n_data} devices); choose a divisible batch size, or pass "
-                f"allow_replicate=True to replicate this array on every device"
+                f"axis ({n_data_local} local devices); choose a divisible batch size, "
+                f"or pass allow_replicate=True to replicate this array on every device"
             )
-        else:
-            spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree.map(put, tree)
 

@@ -39,13 +39,38 @@ def save_checkpoint(
     if output_dir is None:
         logger.warning("output_dir is None, skip save_checkpoint")
         return
-    if jax.process_index() != 0:
-        return
+    if jax.process_count() > 1:
+        # fetch collectively BEFORE the rank gate: leaves sharded across
+        # processes are not addressable from rank 0 alone, and a rank-gated
+        # device_get would deadlock in the cross-host gather
+        def fetch(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                import numpy as _np
+
+                if not x.sharding.is_fully_replicated:
+                    # reshard to replicated through a jitted identity — the
+                    # all-gather compiles to the same XLA collectives the
+                    # train step uses, keeping rank collective order aligned
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    x = jax.jit(
+                        lambda a: a,
+                        out_shardings=NamedSharding(x.sharding.mesh, PartitionSpec()),
+                    )(x)
+                # the local shard of a replicated array holds the full value
+                return _np.asarray(x.addressable_shards[0].data)
+            return x
+
+        state = jax.tree.map(fetch, state)
     import orbax.checkpoint as ocp
 
     path = _ckpt_dir(output_dir, prefix)
+    # every process calls save(): orbax is multihost-aware (internal barriers
+    # + primary-host writes); a rank-gated call would desync its collectives
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, _to_numpy_tree(state), force=True)
+    if jax.process_index() != 0:
+        return
     if metric:
         with open(os.path.join(path, "metric.json"), "w") as f:
             json.dump({k: float(v) for k, v in metric.items()}, f)

@@ -156,3 +156,32 @@ def test_spectral_conv_factorizations():
         y_fac = m._contract(0, xc)
         y_dense = jnp.einsum("bijk,iojk->bojk", xc, w)
         np.testing.assert_allclose(np.asarray(y_fac), np.asarray(y_dense), rtol=2e-4, atol=1e-5)
+
+
+def test_cuboid_transformer_hierarchy():
+    """3-level hierarchical CuboidTransformer (reference
+    cuboid_transformer.py:415-958): PatchMerge downsampling, channel doubling,
+    global vectors, cross-attention decoder, nearest-interp initial z."""
+    import jax
+
+    m = psci.arch.CuboidTransformer(
+        ("input",), ("output",), input_shape=(8, 16, 16, 2), target_shape=(4, 16, 16, 1),
+        base_units=16, num_heads=4, enc_depth=(1, 1, 1), dec_depth=(1, 1, 1),
+        cuboid_size=(2, 4, 4), num_global_vectors=2)
+    x = {"input": np.random.rand(2, 8, 16, 16, 2).astype(np.float32)}
+    out = m(x)["output"]
+    assert out.shape == (2, 4, 16, 16, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    # hierarchy: per-level dims double (16, 32, 64)
+    assert m.dims == [16, 32, 64]
+    assert m.hw == [(16, 16), (8, 8), (4, 4)]
+    # params live under registered children (trainable through param_tree)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(m.param_tree()))
+    assert n > 100_000
+    # remat variant agrees with the plain forward
+    m2 = psci.arch.CuboidTransformer(
+        ("input",), ("output",), (8, 16, 16, 2), (4, 16, 16, 1),
+        base_units=16, num_heads=4, enc_depth=(1, 1, 1), dec_depth=(1, 1, 1),
+        cuboid_size=(2, 4, 4), num_global_vectors=2, remat=True)
+    m2.load_param_tree(m.param_tree())
+    np.testing.assert_allclose(np.asarray(m2(x)["output"]), np.asarray(out), rtol=2e-5, atol=1e-6)

@@ -20,5 +20,5 @@ def test_example_imports(name):
         mod = importlib.import_module(name)
     finally:
         sys.path.pop(0)
-    assert any(hasattr(mod, fn) for fn in ("build_solver", "main", "train")), (
-        f"example {name} should expose build_solver(), main() or train()")
+    assert any(hasattr(mod, fn) for fn in ("build_solver", "main", "train", "main_cli", "run", "build_forward")), (
+        f"example {name} should expose a build/run entrypoint")

@@ -151,7 +151,8 @@ def test_fno1d_velocitygan_shapes():
 
     m = psci.arch.FNO1d(modes=8, width=8, padding=10, input_channel=2, output_np=50)
     out = jax.jit(m)({"input": jnp.ones((2, 50, 2))})
-    assert out["output"].shape == (2, 1)
+    # full resampled field (reference geofno.py forward returns (B, output_np, 1))
+    assert out["output"].shape == (2, 50, 1)
     vg = psci.arch.VelocityGenerator(("s",), ("v",), in_channels=3, out_size=(32, 32), dim=4)
     out = jax.jit(vg)({"s": jnp.ones((1, 3, 32, 8))})
     assert out["v"].shape == (1, 1, 32, 32)
