@@ -1072,8 +1072,7 @@ class GridMeshAtmosphericDataset(_GraphDataset):
         for _ in range(num_samples):
             state = rng.standard_normal((n, self._node_dim)).astype(_F32)
             # next state: neighborhood-coupled smooth rotation
-            nxt = 0.9 * state + 0.1 * np.tanh(state[receivers[::4] % n])[: n]
-            nxt = nxt[:n] if len(nxt) >= n else state
+            nxt = 0.9 * state + 0.1 * np.tanh(state[np.roll(np.arange(n), 1)])
             self.graphs.append(((state, ef, senders, receivers), nxt.astype(_F32)))
 
     def __len__(self):
