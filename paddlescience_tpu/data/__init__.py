@@ -40,6 +40,8 @@ from paddlescience_tpu.data.dataset.science_dataset import (  # noqa: F401
 from paddlescience_tpu.data.process.transform import Compose, build_transforms  # noqa: F401
 
 __all__ = [
+    "build_batch_transforms",
+    "default_collate_fn",
     "BatchLoader",
     "build_dataset",
     "build_dataloader",
@@ -128,11 +130,13 @@ class BatchLoader:
         num_replicas: Optional[int] = None,
         rank: Optional[int] = None,
         seed: int = 42,
+        batch_transforms=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.batch_transforms = batch_transforms
         self.num_replicas = num_replicas if num_replicas is not None else jax.process_count()
         self.rank = rank if rank is not None else jax.process_index()
         self.seed = seed
@@ -175,12 +179,71 @@ class BatchLoader:
                 sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
                 if len(sel) == 0:
                     sel = idx[: self.batch_size]
-                yield self.dataset[sel]
+                batch = self.dataset[sel]
+                if self.batch_transforms is not None:
+                    batch = self.batch_transforms(*batch)
+                yield batch
+
+
+def default_collate_fn(samples):
+    """Stack a list of (input, label, weight) sample dicts into one batch
+    (reference process/batch_transform/__init__.py:43-106). Our fast path
+    batch-indexes arrays directly, so this is only needed for per-sample
+    pipelines and FunctionalBatchTransform composition."""
+    def collate(values):
+        v0 = values[0]
+        if v0 is None:
+            return None
+        if isinstance(v0, dict):
+            return {k: collate([v[k] for v in values]) for k in v0}
+        if isinstance(v0, (list, tuple)):
+            return type(v0)(collate(list(f)) for f in zip(*values))
+        if isinstance(v0, (str, bytes)):
+            return list(values)
+        return np.stack([np.asarray(v) for v in values], axis=0)
+
+    inp = collate([s[0] for s in samples])
+    lab = collate([s[1] for s in samples])
+    wgt = collate([s[2] for s in samples])
+    return inp, lab, wgt
+
+
+class FunctionalBatchTransform:
+    """User function applied to the assembled (input, label, weight) batch
+    (reference process/batch_transform FunctionalBatchTransform)."""
+
+    def __init__(self, transform_func):
+        self.transform_func = transform_func
+
+    def __call__(self, inp, lab, wgt):
+        return self.transform_func(inp, lab, wgt)
+
+
+def build_batch_transforms(cfg):
+    """[{name: {kwargs}}] -> composed callable over (input, label, weight)."""
+    if not cfg:
+        return None
+    if callable(cfg):
+        return cfg
+    fns = []
+    for item in cfg:
+        name = next(iter(item.keys()))
+        kwargs = item[name] or {}
+        if name != "FunctionalBatchTransform":
+            raise ValueError(f"unknown batch transform '{name}'")
+        fns.append(FunctionalBatchTransform(**kwargs))
+
+    def composed(inp, lab, wgt):
+        for fn in fns:
+            inp, lab, wgt = fn(inp, lab, wgt)
+        return inp, lab, wgt
+
+    return composed
 
 
 def build_dataloader(dataset, cfg) -> BatchLoader:
-    """cfg: {"batch_size": int, "sampler": {"name", "shuffle", "drop_last"}}
-    (reference data/__init__.py:59-209 contract)."""
+    """cfg: {"batch_size": int, "sampler": {"name", "shuffle", "drop_last"},
+    "batch_transforms": [...]} (reference data/__init__.py:59-209 contract)."""
     cfg = copy.deepcopy(dict(cfg or {}))
     sampler_cfg = dict(cfg.get("sampler", {}))
     return BatchLoader(
@@ -189,4 +252,5 @@ def build_dataloader(dataset, cfg) -> BatchLoader:
         shuffle=sampler_cfg.get("shuffle", False),
         drop_last=sampler_cfg.get("drop_last", True),
         seed=cfg.get("seed", 42),
+        batch_transforms=build_batch_transforms(cfg.get("batch_transforms")),
     )

@@ -93,3 +93,33 @@ def test_readers(tmp_path):
     np.savez(str(p3), v=np.ones(5))
     out = reader.load_npz_file(str(p3), ("v",))
     assert out["v"].shape == (5,)
+
+
+def test_batch_transforms_and_collate():
+    """FunctionalBatchTransform + default_collate_fn (reference
+    process/batch_transform/__init__.py:43-139)."""
+    import numpy as np
+    from paddlescience_tpu import data as data_mod
+
+    ds = data_mod.build_dataset({
+        "name": "NamedArrayDataset",
+        "input": {"x": np.arange(8, dtype=np.float32).reshape(-1, 1)},
+        "label": {"y": np.arange(8, dtype=np.float32).reshape(-1, 1) * 2},
+    })
+
+    def double_labels(inp, lab, wgt):
+        return inp, {k: v * 2 for k, v in lab.items()}, wgt
+
+    loader = data_mod.build_dataloader(ds, {
+        "batch_size": 4,
+        "sampler": {"name": "BatchSampler", "shuffle": False, "drop_last": True},
+        "batch_transforms": [{"FunctionalBatchTransform": {"transform_func": double_labels}}],
+    })
+    inp, lab, wgt = next(iter(loader))
+    np.testing.assert_allclose(lab["y"], inp["x"] * 4)
+
+    # collate a list of per-sample dicts
+    samples = [({"x": np.float32(i)}, {"y": np.float32(2 * i)}, {}) for i in range(3)]
+    cin, clab, cwgt = data_mod.default_collate_fn(samples)
+    assert cin["x"].shape == (3,)
+    np.testing.assert_allclose(clab["y"], [0, 2, 4])
