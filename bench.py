@@ -222,7 +222,7 @@ def main():
                     help="steps fused per jitted lax.scan call")
     ap.add_argument("--cases", type=str, default="allen_cahn,piratenet,cylinder")
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("PSCI_BENCH_BUDGET", 420)),
+                    default=float(os.environ.get("PSCI_BENCH_BUDGET", 1100)),
                     help="wall-clock budget (s): later cases are skipped once "
                          "exceeded — compiles over a tunneled chip can "
                          "dominate, and an incomplete headline JSON is worse "
