@@ -76,13 +76,14 @@ def run(cfg=None, epochs=5, t_in=4, t_out=6, hw=32, lr=1e-4, n_seq=4):
         first = float(loss) if e == 0 else first
         last = float(loss)
 
-    # hinge scores with a tiny spatial discriminator (reference
+    # hinge scores with the spatial + temporal discriminators (reference
     # _loss_hinge_disc/_loss_hinge_gen, dgmr.py:161-174)
     gen = model.apply(params, {"input_frames": x})["future_frames"]
+    disc = psci.arch.DGMRDiscriminators(input_channels=1, hidden=16)
 
     def disc_score(frames):
-        # mean-pooled energy statistic as the critic feature
-        return jnp.mean(frames**2, axis=(1, 2, 3, 4)) - jnp.mean(jnp.abs(frames), axis=(1, 2, 3, 4))
+        s, t = disc(frames)
+        return s + t
 
     score_real, score_gen = disc_score(y), disc_score(gen)
     d_loss = float(jnp.mean(jax.nn.relu(1.0 - score_real)) + jnp.mean(jax.nn.relu(1.0 + score_gen)))

@@ -22,7 +22,7 @@ from paddlescience_tpu.arch import base
 from paddlescience_tpu.nn.core import Module, Rngs
 from paddlescience_tpu.nn.layers import Conv
 
-__all__ = ["NowcastNet", "DGMR"]
+__all__ = ["NowcastNet", "DGMR", "DGMRDiscriminators"]
 
 
 class _ConvBlock(Module):
@@ -129,9 +129,13 @@ class _ConvGRUCell(Module):
 
 
 class DGMR(base.Arch):
-    """Deep generative model of radar (compact): conditioning stack encodes
-    context frames, a latent conv stack seeds a ConvGRU that rolls out
-    future frames through pixel-shuffle upsampling."""
+    """Deep generative model of radar (reference ``ppsci/arch/dgmr.py``):
+    a conditioning stack encodes context frames, a **latent conditioning
+    stack** maps per-sample noise to the recurrent initial state, and a
+    ConvGRU rolls out future frames through pixel-shuffle upsampling.
+    ``generation_steps`` independent latent draws give an ensemble (the
+    reference draws 6 samples per training step); noise uses an explicit
+    PRNG key threaded through ``set_rng`` for determinism."""
 
     def __init__(
         self,
@@ -142,6 +146,7 @@ class DGMR(base.Arch):
         latent_channels: int = 256,
         context_channels: int = 192,
         num_input_frames: int = 4,
+        generation_steps: int = 1,
         *,
         rngs: Optional[Rngs] = None,
         **kwargs,
@@ -155,23 +160,69 @@ class DGMR(base.Arch):
         self.input_keys = tuple(input_keys)
         self.output_keys = tuple(output_keys)
         self.forecast_steps = forecast_steps
+        self.generation_steps = generation_steps
         cc = context_channels // 4
+        lc = max(latent_channels // 8, 8)
+        self.noise_ch = max(lc // 4, 4)
         self.cond1 = _ConvBlock(num_input_frames * input_channels, cc, rngs=rngs, s=2)
         self.cond2 = _ConvBlock(cc, 2 * cc, rngs=rngs, s=2)
-        self.latent = _ConvBlock(2 * cc, 2 * cc, rngs=rngs)
+        # latent conditioning stack: noise (B, h/4, w/4, noise_ch) -> state
+        # (reference dgmr LatentConditioningStack)
+        self.lat1 = _ConvBlock(self.noise_ch, lc, rngs=rngs)
+        self.lat2 = _ConvBlock(lc, 2 * cc, rngs=rngs)
         self.gru = _ConvGRUCell(2 * cc, 2 * cc, rngs=rngs)
         self.out_conv = Conv(2 * cc, 16 * input_channels, (1, 1), rngs=rngs)  # 4x4 pixel shuffle
+        self._rng = jax.random.PRNGKey(0)
+
+    def set_rng(self, key):
+        self._rng = key
+
+    def _rollout(self, h, noise):
+        state = self.lat2(self.lat1(noise))
+        frames = []
+        for _ in range(self.forecast_steps):
+            state = self.gru(h, state)
+            up = self._pixel_shuffle(self.out_conv(state), 4)  # (B, H, W, C)
+            frames.append(up.transpose(0, 3, 1, 2))
+        return jnp.stack(frames, axis=1)  # (B, steps, C, H, W)
 
     def __call__(self, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         seq = x[self.input_keys[0]]  # (B, T, C, H, W) reference layout
         B, T, C, H, W = seq.shape
         ctx = seq.reshape(B, T * C, H, W).transpose(0, 2, 3, 1)
         h = self.cond2(self.cond1(ctx))
-        state = self.latent(h)
-        frames = []
-        for _ in range(self.forecast_steps):
-            state = self.gru(h, state)
-            up = self._pixel_shuffle(self.out_conv(state), 4)  # (B, H, W, C)
-            frames.append(up.transpose(0, 3, 1, 2))
-        out = jnp.stack(frames, axis=1)  # (B, steps, C, H, W)
-        return {self.output_keys[0]: out}
+        keys = jax.random.split(self._rng, self.generation_steps)
+        samples = [
+            self._rollout(h, jax.random.normal(k, (B, h.shape[1], h.shape[2], self.noise_ch)))
+            for k in keys
+        ]
+        out = samples[0] if self.generation_steps == 1 else jnp.stack(samples, 0).mean(0)
+        result = {self.output_keys[0]: out}
+        if self.generation_steps > 1:
+            result["samples"] = jnp.stack(samples, 0)  # (S, B, steps, C, H, W)
+        return result
+
+
+class DGMRDiscriminators(Module):
+    """Spatial + temporal hinge discriminators (reference dgmr.py
+    SpatialDiscriminator/TemporalDiscriminator, compact conv stacks)."""
+
+    def __init__(self, input_channels: int = 1, hidden: int = 32, *, rngs: Optional[Rngs] = None):
+        if rngs is None:
+            rngs = Rngs(1)
+        self.s1 = _ConvBlock(input_channels, hidden, rngs=rngs, s=2)
+        self.s2 = _ConvBlock(hidden, hidden, rngs=rngs, s=2)
+        self.t1 = _ConvBlock(2 * input_channels, hidden, rngs=rngs, s=2)
+        self.t2 = _ConvBlock(hidden, hidden, rngs=rngs, s=2)
+        self.s_head = Conv(hidden, 1, (1, 1), rngs=rngs)
+        self.t_head = Conv(hidden, 1, (1, 1), rngs=rngs)
+
+    def __call__(self, frames):
+        """frames (B, T, C, H, W) -> (spatial_score, temporal_score) (B,)."""
+        B, T, C, H, W = frames.shape
+        sp = frames.reshape(B * T, C, H, W).transpose(0, 2, 3, 1)
+        s = self.s_head(self.s2(self.s1(sp))).mean(axis=(1, 2, 3)).reshape(B, T).mean(axis=1)
+        pairs = jnp.concatenate([frames[:, :-1], frames[:, 1:]], axis=2)  # (B, T-1, 2C, H, W)
+        tp = pairs.reshape(B * (T - 1), 2 * C, H, W).transpose(0, 2, 3, 1)
+        t = self.t_head(self.t2(self.t1(tp))).mean(axis=(1, 2, 3)).reshape(B, T - 1).mean(axis=1)
+        return s, t
