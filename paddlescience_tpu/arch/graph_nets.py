@@ -224,13 +224,176 @@ class AMGNet(MeshGraphNet):
     more compute, no accuracy compromise on meshes that fit memory)."""
 
 
-class GraphCastNet(MeshGraphNet):
-    """GraphCast-style weather GNN (reference ppsci/arch/graphcast.py).
+def _icosahedron():
+    import numpy as np
 
-    The reference loads precomputed grid2mesh/mesh2grid/mesh graph templates
-    from data files and runs encode-process-decode. Feed the combined graph
-    through the MeshGraphNet contract: node/edge features + connectivity
-    from those same template files."""
+    phi = (1 + np.sqrt(5)) / 2
+    v = np.array([
+        [-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+        [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+        [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1],
+    ], np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ], np.int64)
+    return v, f
+
+
+def _refine(verts, faces):
+    """Midpoint triangle subdivision on the unit sphere."""
+    import numpy as np
+
+    verts = list(map(tuple, verts))
+    cache = {}
+
+    def midpoint(i, j):
+        key = (min(i, j), max(i, j))
+        if key not in cache:
+            m = (np.asarray(verts[i]) + np.asarray(verts[j])) / 2
+            m = tuple(m / np.linalg.norm(m))
+            cache[key] = len(verts)
+            verts.append(m)
+        return cache[key]
+
+    new_faces = []
+    for a, b, c in faces:
+        ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+        new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+    return np.asarray(verts), np.asarray(new_faces, np.int64)
+
+
+def build_multimesh(level: int):
+    """GraphCast multi-mesh: vertices of the finest icosahedral refinement,
+    edge set = UNION of the edges of every refinement level (long edges from
+    coarse levels give the processor global receptive field in few hops;
+    reference graphcast.py multimesh construction)."""
+    import numpy as np
+
+    verts, faces = _icosahedron()
+    edge_set = set()
+
+    def add_edges(fs):
+        for a, b, c in fs:
+            for i, j in ((a, b), (b, c), (c, a)):
+                edge_set.add((i, j))
+                edge_set.add((j, i))
+
+    add_edges(faces)
+    for _ in range(level):
+        verts, faces = _refine(verts, faces)
+        add_edges(faces)
+    edges = np.asarray(sorted(edge_set), np.int32)
+    return verts.astype(np.float32), edges[:, 0], edges[:, 1]
+
+
+def _edge_feats(pos_s, pos_r):
+    import numpy as np
+
+    d = pos_r - pos_s
+    return np.concatenate([d, np.linalg.norm(d, axis=1, keepdims=True)], 1).astype(np.float32)
+
+
+class GraphCastNet(base.Arch):
+    """GraphCast weather GNN (reference ppsci/arch/graphcast.py):
+    grid2mesh encoder -> multi-mesh processor -> mesh2grid decoder.
+
+    With ``lat``/``lon`` given, the icosahedral multi-mesh and the bipartite
+    grid<->mesh graphs are generated internally (the reference loads
+    precomputed template files — same structure): every grid point encodes
+    into its nearest mesh vertex, the processor message-passes over the
+    union of all refinement levels' edges, and each grid point decodes from
+    its 3 nearest mesh vertices. Without lat/lon it degrades to the flat
+    MeshGraphNet contract (single combined graph)."""
+
+    def __init__(
+        self,
+        input_keys: Tuple[str, ...],
+        output_keys: Tuple[str, ...],
+        node_in_dim: int,
+        edge_in_dim: int = 4,
+        out_dim: int = 8,
+        hidden: int = 128,
+        n_layers: int = 8,
+        lat: Optional[int] = None,
+        lon: Optional[int] = None,
+        mesh_level: int = 2,
+        *,
+        rngs: Optional[Rngs] = None,
+    ):
+        super().__init__()
+        if rngs is None:
+            rngs = Rngs(0)
+        self.input_keys = tuple(input_keys)
+        self.output_keys = tuple(output_keys)
+        self.multimesh = lat is not None and lon is not None
+        if not self.multimesh:
+            self.flat = MeshGraphNet(input_keys, output_keys, node_in_dim,
+                                     edge_in_dim, out_dim, hidden, n_layers, rngs=rngs)
+            return
+
+        import numpy as np
+
+        mesh_pos, ms, mr = build_multimesh(mesh_level)
+        la = np.linspace(-np.pi / 2, np.pi / 2, lat)
+        lo = np.linspace(0, 2 * np.pi, lon, endpoint=False)
+        LA, LO = np.meshgrid(la, lo, indexing="ij")
+        grid_pos = np.stack([np.cos(LA) * np.cos(LO), np.cos(LA) * np.sin(LO), np.sin(LA)], -1)
+        grid_pos = grid_pos.reshape(-1, 3).astype(np.float32)
+        ng, nm = len(grid_pos), len(mesh_pos)
+        self.n_grid, self.n_mesh = ng, nm
+
+        sim = grid_pos @ mesh_pos.T  # cosine similarity on the sphere
+        g2m_r = np.argmax(sim, axis=1)  # nearest mesh vertex per grid point
+        m2g_s = np.argsort(-sim, axis=1)[:, :3]  # 3 nearest per grid point
+
+        # combined node indexing: [grid 0..ng) then mesh ng..ng+nm)
+        self._g2m = (jnp.asarray(np.arange(ng, dtype=np.int32)),
+                     jnp.asarray((ng + g2m_r).astype(np.int32)),
+                     jnp.asarray(_edge_feats(grid_pos, mesh_pos[g2m_r])))
+        self._mesh = (jnp.asarray((ng + ms).astype(np.int32)),
+                      jnp.asarray((ng + mr).astype(np.int32)),
+                      jnp.asarray(_edge_feats(mesh_pos[ms], mesh_pos[mr])))
+        m2g_snd = (ng + m2g_s.reshape(-1)).astype(np.int32)
+        m2g_rcv = np.repeat(np.arange(ng, dtype=np.int32), 3)
+        self._m2g = (jnp.asarray(m2g_snd), jnp.asarray(m2g_rcv),
+                     jnp.asarray(_edge_feats(mesh_pos[m2g_s.reshape(-1)],
+                                             np.repeat(grid_pos, 3, axis=0))))
+        self._mesh_feat = jnp.asarray(mesh_pos)
+
+        self.grid_enc = Linear(node_in_dim, hidden, rngs=rngs)
+        self.mesh_enc = Linear(3, hidden, rngs=rngs)
+        self.e_g2m = Linear(4, hidden, rngs=rngs)
+        self.e_mesh = Linear(4, hidden, rngs=rngs)
+        self.e_m2g = Linear(4, hidden, rngs=rngs)
+        self.g2m_block = _MPBlock(hidden, rngs=rngs)
+        self.blocks = [_MPBlock(hidden, rngs=rngs) for _ in range(n_layers)]
+        self.m2g_block = _MPBlock(hidden, rngs=rngs)
+        self.decoder = Linear(hidden, out_dim, rngs=rngs)
+
+    def __call__(self, x: Dict) -> Dict[str, jnp.ndarray]:
+        if not self.multimesh:
+            return {self.output_keys[0]:
+                    self.flat({self.flat.input_keys[0]: x[self.input_keys[0]]})[self.flat.output_keys[0]]}
+        grid_feats = x[self.input_keys[0]]  # (n_grid, F)
+        g = jax.nn.relu(self.grid_enc(grid_feats))
+        m = jax.nn.relu(self.mesh_enc(self._mesh_feat))
+        n = jnp.concatenate([g, m], axis=0)
+        # grid2mesh
+        s, r, ef = self._g2m
+        n, _ = self.g2m_block(n, jax.nn.relu(self.e_g2m(ef)), s, r)
+        # multi-mesh processor
+        s, r, ef = self._mesh
+        e = jax.nn.relu(self.e_mesh(ef))
+        for block in self.blocks:
+            n, e = block(n, e, s, r)
+        # mesh2grid
+        s, r, ef = self._m2g
+        n, _ = self.m2g_block(n, jax.nn.relu(self.e_m2g(ef)), s, r)
+        return {self.output_keys[0]: self.decoder(n[: self.n_grid])}
 
 
 class CFDGCN(base.Arch):

@@ -219,3 +219,23 @@ def test_moflow_glow_logdet_and_roundtrip():
     _, ld_adj = jnp.linalg.slogdet(J[6:, 6:])
     o = mt({"nodes": v0[:6].reshape(1, 3, 2), "edges": v0[6:].reshape(1, 2, 3, 3)})
     np.testing.assert_allclose(float(o["sum_log_det"][0]), float(ld_x + ld_adj), atol=1e-3)
+
+
+def test_graphcast_multimesh():
+    """GraphCast multi-mesh (reference graphcast.py): icosahedral refinement
+    union edges, grid2mesh/mesh2grid bipartite passes, grid-shaped output."""
+    import jax.numpy as jnp
+    from paddlescience_tpu.arch.graph_nets import build_multimesh
+
+    v1, s1, _ = build_multimesh(1)
+    v2, s2, _ = build_multimesh(2)
+    assert v1.shape == (42, 3) and v2.shape == (162, 3)
+    assert len(s2) > len(s1)  # multi-mesh union grows with refinement
+    np.testing.assert_allclose(np.linalg.norm(v2, axis=1), 1.0, rtol=1e-5)
+
+    m = psci.arch.GraphCastNet(("grid",), ("pred",), node_in_dim=8, out_dim=8,
+                               hidden=16, n_layers=2, lat=8, lon=16, mesh_level=1)
+    x = jnp.asarray(np.random.rand(128, 8), np.float32)
+    out = m({"grid": x})["pred"]
+    assert out.shape == (128, 8)
+    assert np.isfinite(np.asarray(out)).all()
