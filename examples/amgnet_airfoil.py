@@ -32,11 +32,18 @@ def main(steps=40):
 
     graphs = [ds[i][0]["input"] for i in range(len(ds))]
     labels = [jnp.asarray(ds[i][1]["label"]) for i in range(len(ds))]
+    # AMG-style greedy aggregation per graph (static; reference uses pyamg)
+    coarse = [psci.arch.AMGNet.coarsen(g[2], g[3], len(g[0])) for g in graphs]
 
-    @jax.jit
-    def step(params, opt, nf, ef, s, r, y):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def step(params, opt, nf, ef, gi, y):
+        assign, cs, cr = coarse[gi]
+        s, r = (jnp.asarray(graphs[gi][2]), jnp.asarray(graphs[gi][3]))
         def loss_fn(p):
-            out = model.apply(p, {"input": (nf, ef, s, r)})
+            out = model.apply(p, {"input": (nf, ef, s, r, assign,
+                                            jnp.asarray(cs), jnp.asarray(cr))})
             pred = out["pred"]
             return jnp.mean((pred - y) ** 2)
         loss, g = jax.value_and_grad(loss_fn)(params)
@@ -46,8 +53,8 @@ def main(steps=40):
     first = last = None
     for it in range(steps):
         i = it % len(graphs)
-        nf, ef, s, r = (jnp.asarray(a) for a in graphs[i])
-        params, opt, loss = step(params, opt, nf, ef, s, r, labels[i])
+        nf, ef = jnp.asarray(graphs[i][0]), jnp.asarray(graphs[i][1])
+        params, opt, loss = step(params, opt, nf, ef, i, labels[i])
         if it == 0:
             first = float(loss)
         last = float(loss)

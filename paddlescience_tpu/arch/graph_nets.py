@@ -10,9 +10,9 @@ TPU-native counterparts of the reference graph models:
 TPU design: graphs are static padded edge lists; aggregation is
 ``jax.ops.segment_sum`` (lowered to sorted-segment ops, no dynamic shapes).
 The reference relies on PGL + pyamg (AMG coarsening) + SU2 (CFD-in-the-loop)
-— external dependencies not present here. AMGNet and CFDGCN are provided as
-message-passing models with the same I/O contract; AMG coarsening/SU2
-coupling hooks raise informative errors (documented simplification).
+— external dependencies not present here. AMGNet implements AMG-style greedy
+aggregation itself (``AMGNet.coarsen``) for its graph U-Net; CFDGCN takes
+any callable coarse solver (potential-flow surrogate in the example).
 """
 
 from __future__ import annotations
@@ -216,12 +216,78 @@ class MeshGraphNet(base.Arch):
 
 
 class AMGNet(MeshGraphNet):
-    """AMGNet flow-field predictor (reference ppsci/arch/amgnet.py).
+    """AMGNet flow-field predictor (reference ppsci/arch/amgnet.py): a graph
+    U-Net whose coarse level comes from algebraic-multigrid-style greedy
+    aggregation (stand-in for the reference's pyamg RS-coarsening — same
+    role, no external dependency, fully static once computed).
 
-    Simplification note: the reference coarsens with pyamg RS-coarsening
-    inside a graph U-Net; pyamg is unavailable here, so AMGNet runs the
-    flat MeshGraphNet processor at full resolution (same I/O contract,
-    more compute, no accuracy compromise on meshes that fit memory)."""
+    Usage: ``assign, cs, cr = AMGNet.coarsen(senders, receivers, n)`` on the
+    host graph, then feed ``(node_feats, edge_feats, senders, receivers,
+    assign, cs, cr)``. The 4-tuple input runs the flat processor (backward
+    compatible)."""
+
+    def __init__(self, *args, **kwargs):
+        rngs = kwargs.get("rngs") or Rngs(0)
+        kwargs["rngs"] = rngs
+        super().__init__(*args, **kwargs)
+        hidden = self.node_enc.out_features
+        self.coarse_blocks = [_MPBlock(hidden, rngs=rngs) for _ in range(2)]
+        self.coarse_edge_enc = Linear(1, hidden, rngs=rngs)
+
+    @staticmethod
+    def coarsen(senders, receivers, n_nodes):
+        """Greedy aggregation (AMG-style): unaggregated nodes become seeds
+        and absorb their unaggregated neighbors. Returns (assign (N,),
+        coarse_senders, coarse_receivers) as numpy int32."""
+        import numpy as np
+
+        senders = np.asarray(senders)
+        receivers = np.asarray(receivers)
+        assign = -np.ones(n_nodes, np.int64)
+        # adjacency lists
+        order = np.argsort(senders, kind="stable")
+        s_sorted, r_sorted = senders[order], receivers[order]
+        starts = np.searchsorted(s_sorted, np.arange(n_nodes))
+        ends = np.searchsorted(s_sorted, np.arange(n_nodes) + 1)
+        n_coarse = 0
+        for v in range(n_nodes):
+            if assign[v] >= 0:
+                continue
+            assign[v] = n_coarse
+            for u in r_sorted[starts[v]:ends[v]]:
+                if assign[u] < 0:
+                    assign[u] = n_coarse
+            n_coarse += 1
+        ce = {(int(assign[s]), int(assign[r]))
+              for s, r in zip(senders, receivers) if assign[s] != assign[r]}
+        if not ce:
+            ce = {(0, 0)}
+        ce = np.asarray(sorted(ce), np.int32)
+        return assign.astype(np.int32), ce[:, 0], ce[:, 1]
+
+    def __call__(self, x: Dict) -> Dict[str, jnp.ndarray]:
+        graph = x[self.input_keys[0]]
+        if len(graph) == 4:
+            return super().__call__(x)
+        node_feats, edge_feats, senders, receivers, assign, cs, cr = graph
+        n = jax.nn.relu(self.node_enc(node_feats))
+        e = jax.nn.relu(self.edge_enc(edge_feats))
+        # fine pre-smoothing
+        for block in self.blocks[: len(self.blocks) // 2]:
+            n, e = block(n, e, senders, receivers)
+        # restrict: mean over aggregates (assign/cs/cr must be STATIC
+        # numpy arrays — close over them when jitting the train step)
+        n_agg = jax.ops.segment_sum(n, assign, num_segments=int(assign.max()) + 1)
+        cnt = jax.ops.segment_sum(jnp.ones((n.shape[0], 1)), assign, num_segments=int(assign.max()) + 1)
+        c = n_agg / jnp.clip(cnt, 1.0, None)
+        ce = jax.nn.relu(self.coarse_edge_enc(jnp.ones((len(cs), 1))))
+        for block in self.coarse_blocks:
+            c, ce = block(c, ce, cs, cr)
+        # prolong + skip
+        n = n + c[assign]
+        for block in self.blocks[len(self.blocks) // 2 :]:
+            n, e = block(n, e, senders, receivers)
+        return {self.output_keys[0]: self.decoder(n)}
 
 
 def _icosahedron():

@@ -239,3 +239,23 @@ def test_graphcast_multimesh():
     out = m({"grid": x})["pred"]
     assert out.shape == (128, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_amgnet_coarsening_unet():
+    """AMGNet greedy aggregation (pyamg stand-in, reference amgnet.py):
+    aggregates partition the node set; the 7-tuple V-cycle input runs and
+    matches the flat 4-tuple in output shape."""
+    import jax.numpy as jnp
+    from paddlescience_tpu.data.dataset.domain_dataset import make_synthetic_graph
+
+    rng = np.random.default_rng(0)
+    nf, ef, s, r, _ = make_synthetic_graph(rng, n_nodes=48, k=4)
+    assign, cs, cr = psci.arch.AMGNet.coarsen(s, r, len(nf))
+    assert assign.min() >= 0 and assign.max() + 1 < len(nf)  # real coarsening
+    m = psci.arch.AMGNet(("input",), ("pred",), node_in_dim=nf.shape[-1],
+                         edge_in_dim=ef.shape[-1], out_dim=3, hidden=16, n_layers=4)
+    out_mg = m({"input": (jnp.asarray(nf), jnp.asarray(ef), jnp.asarray(s),
+                          jnp.asarray(r), assign, jnp.asarray(cs), jnp.asarray(cr))})["pred"]
+    out_flat = m({"input": (jnp.asarray(nf), jnp.asarray(ef), jnp.asarray(s), jnp.asarray(r))})["pred"]
+    assert out_mg.shape == out_flat.shape == (48, 3)
+    assert np.isfinite(np.asarray(out_mg)).all()
