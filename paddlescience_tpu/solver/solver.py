@@ -896,7 +896,14 @@ class Solver:
     def export(self, input_spec=None, export_path: Optional[str] = None, **kwargs) -> Callable:
         """Return (and optionally checkpoint) a jitted inference callable —
         the TPU-native replacement for paddle.jit.save (reference
-        solver.py:874-959): XLA recompiles from the saved params + module."""
+        solver.py:874-959): XLA recompiles from the saved params + module.
+
+        With ``input_spec`` (a dict of example arrays or (shape, dtype)
+        tuples) AND ``export_path``, additionally serializes the traced
+        program as a **StableHLO artifact** (``<export_path>.stablehlo``,
+        via jax.export) — the portable compiled-graph analog of the
+        reference's .pdmodel/ONNX files, loadable with
+        ``jax.export.deserialize`` without the Python model code."""
         params, rest = self.state["params"], self.state["rest"]
 
         @jax.jit
@@ -906,6 +913,20 @@ class Solver:
 
         if export_path:
             save_load.save_checkpoint({"params": params, "rest": rest}, os.path.dirname(export_path) or ".", os.path.basename(export_path))
+            if input_spec is not None:
+                from jax import export as jax_export
+
+                def to_example(v):
+                    if isinstance(v, (tuple, list)) and len(v) == 2 and isinstance(v[0], (tuple, list)):
+                        return jnp.zeros(tuple(v[0]), v[1])
+                    return jnp.asarray(v)
+
+                example = {k: to_example(v) for k, v in input_spec.items()}
+                exported = jax_export.export(infer_fn)(example)
+                blob = exported.serialize()
+                with open(export_path + ".stablehlo", "wb") as f:
+                    f.write(blob)
+                logger.info(f"Saved StableHLO artifact to: {export_path}.stablehlo")
         return infer_fn
 
     # --------------------------------------------------------------- visualize --

@@ -227,3 +227,24 @@ def test_tensor_parallel_solver_parity(tmp_path):
     np.testing.assert_allclose(results["dp"][0], results["tp"][0], rtol=2e-5, atol=1e-6)
     for a, b in zip(jax.tree.leaves(results["dp"][1]), jax.tree.leaves(results["tp"][1])):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_export_stablehlo_artifact(tmp_path):
+    """export(input_spec=..., export_path=...) writes a serialized StableHLO
+    program (the reference's .pdmodel/ONNX analog) that deserializes and
+    reproduces the jitted forward without the Python model."""
+    import numpy as np
+    from jax import export as jax_export
+    import jax.numpy as jnp
+
+    model = psci.arch.MLP(("x",), ("u",), 2, 8)
+    s = psci.solver.Solver(model, {}, str(tmp_path), None, epochs=1, iters_per_epoch=1)
+    path = str(tmp_path / "artifact")
+    spec = {"x": ((4, 1), np.float32)}
+    infer_fn = s.export(input_spec=spec, export_path=path)
+    blob = open(path + ".stablehlo", "rb").read()
+    assert len(blob) > 100
+    reloaded = jax_export.deserialize(blob)
+    x = {"x": jnp.asarray(np.random.rand(4, 1), jnp.float32)}
+    np.testing.assert_allclose(np.asarray(reloaded.call(x)["u"]),
+                               np.asarray(infer_fn(x)["u"]), rtol=1e-6)
