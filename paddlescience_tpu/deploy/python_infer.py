@@ -21,20 +21,39 @@ __all__ = ["Predictor", "PINNPredictor", "GeneralPredictor"]
 
 
 class Predictor:
-    """Base predictor over a model + checkpoint."""
+    """Base predictor over a model + checkpoint.
+
+    ``artifact_path`` alternatively loads a serialized StableHLO program
+    written by ``Solver.export(input_spec=..., export_path=...)`` — serving
+    without the Python model code (the reference's engine-file mode)."""
 
     def __init__(
         self,
-        model,
+        model=None,
         checkpoint_path: Optional[str] = None,
         precision: str = "fp32",
         device: Optional[str] = None,
         cfg: Optional[dict] = None,
+        artifact_path: Optional[str] = None,
     ):
         if cfg is not None:
             infer_cfg = cfg.get("INFER", {})
             precision = infer_cfg.get("precision", precision)
             checkpoint_path = infer_cfg.get("pretrained_model_path", checkpoint_path)
+            artifact_path = infer_cfg.get("artifact_path", artifact_path)
+        if artifact_path is not None:
+            from jax import export as jax_export
+
+            with open(artifact_path, "rb") as f:
+                exported = jax_export.deserialize(f.read())
+            self.model = None
+            self.precision = precision
+            self._infer_fn = None
+            self._artifact_call = exported.call
+            return
+        if model is None:
+            raise ValueError("pass a model or an artifact_path")
+        self._artifact_call = None
         self.model = model
         self.precision = precision
         if checkpoint_path:
@@ -64,7 +83,11 @@ class Predictor:
             if pad:
                 batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)], 0) for k, v in batch.items()}
             cast = jnp.bfloat16 if self.precision in ("fp16", "bf16") else jnp.float32
-            out = self._infer_fn(self._params, {k: jnp.asarray(v, cast) for k, v in batch.items()})
+            if self._artifact_call is not None:
+                # StableHLO artifacts are traced at a fixed batch shape
+                out = self._artifact_call({k: jnp.asarray(v, jnp.float32) for k, v in batch.items()})
+            else:
+                out = self._infer_fn(self._params, {k: jnp.asarray(v, cast) for k, v in batch.items()})
             for k, v in out.items():
                 arr = np.asarray(v)
                 outs.setdefault(k, []).append(arr[: hi - lo] if pad else arr)

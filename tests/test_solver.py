@@ -248,3 +248,18 @@ def test_export_stablehlo_artifact(tmp_path):
     x = {"x": jnp.asarray(np.random.rand(4, 1), jnp.float32)}
     np.testing.assert_allclose(np.asarray(reloaded.call(x)["u"]),
                                np.asarray(infer_fn(x)["u"]), rtol=1e-6)
+
+
+def test_predictor_artifact_mode(tmp_path):
+    """deploy.Predictor(artifact_path=...) serves a StableHLO artifact
+    without the Python model (reference's engine-file mode)."""
+    import numpy as np
+
+    model = psci.arch.MLP(("x",), ("u",), 2, 8)
+    s = psci.solver.Solver(model, {}, str(tmp_path), None, epochs=1, iters_per_epoch=1)
+    path = str(tmp_path / "artifact")
+    infer = s.export(input_spec={"x": ((4, 1), np.float32)}, export_path=path)
+    p = psci.deploy.Predictor(artifact_path=path + ".stablehlo")
+    x = {"x": np.random.rand(4, 1).astype("float32")}
+    np.testing.assert_allclose(p.predict(x, batch_size=4)["u"],
+                               np.asarray(infer({"x": x["x"]})["u"]), rtol=1e-6)
