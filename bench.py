@@ -6,8 +6,10 @@ Three measured cases (VERDICT r1 item 2: no estimated baselines):
 1. **allen_cahn** (BASELINE.json north star): Allen-Cahn PINN, MLP 4x256 +
    Fourier features + RWF + period embedding, CausalMSELoss(32) + IC MSE,
    GradNorm aggregation, batch 4096 collocation points resampled on device —
-   the full jitted train step. Reports steps/s/chip AND MFU (XLA-counted
-   FLOPs per step / step time / chip peak bf16 FLOPs).
+   the full jitted train step. Reports steps/s/chip AND MFU = XLA-counted
+   *executed* FLOPs per step / step time / chip peak bf16 FLOPs — a hardware
+   utilization number (includes derivative-stack recomputation), not
+   algorithmic model FLOPs.
 2. **piratenet_9x256** (matmul-bound case): PirateNet 9 residual blocks x 256
    on the same problem — steps/s + MFU where the MXU dominates.
 3. **cylinder2d_matched**: the reference's TIPC benchmark case
@@ -125,7 +127,7 @@ def bench_allen_cahn(steps, batch, fused, arch="mlp", piratenet_blocks=3):
     return {
         "steps_per_sec_per_chip": round(steps_per_sec / n_chips, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
-        "model_flops_per_step": flops_per_step,
+        "xla_flops_per_step": flops_per_step,
     }
 
 
@@ -263,7 +265,8 @@ def main():
                     " (reference test_tipc/README.MD:13-17, FP32 1xGPU) — measured ratio"
                     if cyl else "cylinder case skipped",
         "mfu": ac["mfu"],
-        "model_flops_per_step": ac["model_flops_per_step"],
+        "xla_flops_per_step": ac["xla_flops_per_step"],
+        "mfu_note": "mfu = XLA-counted executed FLOPs per step x steps/s / chip peak bf16 — hardware utilization incl. derivative-stack recomputation, not algorithmic model FLOPs",
         "precision": "bf16-matmul/f32-acc",
         "cases": extra,
     }
