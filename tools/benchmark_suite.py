@@ -13,7 +13,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# runnable from anywhere: the repo root provides `examples` and the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 CASES = {
