@@ -178,9 +178,11 @@ def build_matched_cylinder(iters_per_epoch):
         model, constraint, None, psci.optimizer.Adam(1e-3)(model),
         epochs=1, iters_per_epoch=iters_per_epoch, log_freq=10**9,
         # 280k-point NS batch: 2nd-derivative stacks need ~3 GB of
-        # activations at full batch; lax.map+checkpoint chunks of 28,260
-        # keep the identical gradient with bounded HBM
-        microbatch={"EQ": NPOINT_PDE * NTIME // 10})
+        # activations at full batch; lax.map+checkpoint chunks keep the
+        # identical gradient with bounded HBM. Chunk count via env
+        # (PSCI_BENCH_CYL_CHUNKS, 0 = no microbatching).
+        microbatch=({"EQ": NPOINT_PDE * NTIME // int(os.environ.get("PSCI_BENCH_CYL_CHUNKS", "10"))}
+                    if int(os.environ.get("PSCI_BENCH_CYL_CHUNKS", "10")) > 0 else None))
     return solver, total_points
 
 
