@@ -194,3 +194,51 @@ def test_tape_cross_stack_mixing_raises():
 
     with pytest.raises((ValueError, RuntimeError)):
         expression.evaluate_expressions([m1, m2], inp, {"bad": bad})
+
+
+def test_allen_cahn_helmholtz_poisson_oracles():
+    """First/second-order PDE residual oracles: AllenCahn (closure form),
+    Helmholtz (k^2 u + lap u), Poisson (lap u)."""
+    # Allen-Cahn: u_t - eps^2 u_xx + 5u^3 - 5u
+    eps = 0.01
+    eq = psci.equation.AllenCahn(eps=eps)
+    model = psci.arch.MLP(("t", "x"), ("u",), 2, 12)
+    inp = _rand_inp(("t", "x"), n=8)
+    res = _residuals(model, inp, eq.equations, ["allen_cahn"])["allen_cahn"]
+    u = _eval_model(model, inp)["u"]
+    u_t = _fd(model, inp, "u", "t")
+    u_xx = _fd2(model, inp, "u", "x")
+    np.testing.assert_allclose(res, u_t - eps**2 * u_xx + 5 * u**3 - 5 * u,
+                               rtol=3e-2, atol=3e-3)
+
+    # Helmholtz 2D: k^2 u + u_xx + u_yy
+    k = 2.0
+    eqh = psci.equation.Helmholtz(dim=2, k=k)
+    mh = psci.arch.MLP(("x", "y"), ("u",), 2, 12, rngs=psci.nn.Rngs(1))
+    inph = _rand_inp(("x", "y"), n=8, seed=1)
+    name = next(iter(eqh.equations))
+    resh = _residuals(mh, inph, eqh.equations, [name])[name]
+    uh = _eval_model(mh, inph)["u"]
+    oracle_h = k**2 * uh + _fd2(mh, inph, "u", "x") + _fd2(mh, inph, "u", "y")
+    np.testing.assert_allclose(resh, oracle_h, rtol=3e-2, atol=3e-3)
+
+    # Poisson 2D: p_xx + p_yy (reference poisson.py names the unknown 'p')
+    eqp = psci.equation.Poisson(dim=2)
+    mp = psci.arch.MLP(("x", "y"), ("p",), 2, 12, rngs=psci.nn.Rngs(4))
+    resp = _residuals(mp, inph, eqp.equations, ["poisson"])["poisson"]
+    np.testing.assert_allclose(resp, _fd2(mp, inph, "p", "x") + _fd2(mp, inph, "p", "y"),
+                               rtol=3e-2, atol=3e-3)
+
+
+def test_navier_stokes_2d_steady_oracle():
+    nu, rho = 0.1, 1.0
+    eq = psci.equation.NavierStokes(nu=nu, rho=rho, dim=2, time=False)
+    model = psci.arch.MLP(("x", "y"), ("u", "v", "p"), 2, 16, rngs=psci.nn.Rngs(2))
+    inp = _rand_inp(("x", "y"), n=8, seed=2)
+    res = _residuals(model, inp, eq.equations, ["continuity", "momentum_y"])
+    o = _eval_model(model, inp)
+    d = {f"{q}_{c}": _fd(model, inp, q, c) for q in ("u", "v", "p") for c in ("x", "y")}
+    np.testing.assert_allclose(res["continuity"], d["u_x"] + d["v_y"], rtol=2e-2, atol=2e-3)
+    mom_y = (o["u"] * d["v_x"] + o["v"] * d["v_y"] + d["p_y"] / rho
+             - nu * (_fd2(model, inp, "v", "x") + _fd2(model, inp, "v", "y")))
+    np.testing.assert_allclose(res["momentum_y"], mom_y, rtol=5e-2, atol=5e-3)
