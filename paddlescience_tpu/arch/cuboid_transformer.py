@@ -131,23 +131,34 @@ class _FFN(Module):
 
 
 class _MoEFFN(Module):
-    """Dense token-choice mixture-of-experts FFN (reference
-    extformer_moe_cuboid*.py — the reference's MoE is also single-device
-    dense routing, SURVEY §2.3)."""
+    """Soft mixture-of-experts FFN with STACKED expert weights (reference
+    extformer_moe_cuboid*.py routes densely on one device, SURVEY §2.3).
+
+    TPU-native upgrade: expert kernels live as (E, D, H)/(E, H, D) stacks so
+    the leading expert axis can shard over the mesh "model" axis — expert
+    parallelism as a pure GSPMD annotation (``parallel.mesh.param_spec``
+    shards leading axes of 3-D stacks when divisible); XLA inserts the
+    all-reduce over the softly-gated expert sum."""
 
     def __init__(self, dim, hidden, num_experts, *, rngs: Rngs):
+        import math as _math
+
+        from paddlescience_tpu.nn.core import Param
+
         self.gate = Linear(dim, num_experts, rngs=rngs)
-        self.experts_in = [Linear(dim, hidden, rngs=rngs) for _ in range(num_experts)]
-        self.experts_out = [Linear(hidden, dim, rngs=rngs) for _ in range(num_experts)]
+        s_in = _math.sqrt(1.0 / dim)
+        s_out = _math.sqrt(1.0 / hidden)
+        self.w_in = Param(s_in * jax.random.normal(rngs.params(), (num_experts, dim, hidden)))
+        self.b_in = Param(jnp.zeros((num_experts, hidden)))
+        self.w_out = Param(s_out * jax.random.normal(rngs.params(), (num_experts, hidden, dim)))
+        self.b_out = Param(jnp.zeros((num_experts, dim)))
         self.num_experts = num_experts
 
     def __call__(self, x):
-        gates = jax.nn.softmax(self.gate(x), axis=-1)
-        outs = jnp.stack(
-            [self.experts_out[e](jax.nn.gelu(self.experts_in[e](x))) for e in range(self.num_experts)],
-            axis=-1,
-        )
-        return jnp.einsum("...ce,...e->...c", outs, gates)
+        gates = jax.nn.softmax(self.gate(x), axis=-1)  # (..., E)
+        h = jax.nn.gelu(jnp.einsum("...d,edh->...eh", x, self.w_in) + self.b_in)
+        outs = jnp.einsum("...eh,ehd->...ed", h, self.w_out) + self.b_out
+        return jnp.einsum("...ed,...e->...d", outs, gates)
 
 
 class _CuboidBlock(Module):

@@ -111,6 +111,10 @@ def param_spec(x, n_model: int) -> P:
     change the math, only the layout, so this is safe as a default.
     """
     shape = getattr(x, "shape", ())
+    if len(shape) == 3 and shape[0] % n_model == 0 and shape[0] >= n_model:
+        # stacked expert kernels (E, D, H): expert parallelism — shard the
+        # expert axis over "model" (MoE FFN stacks, cuboid_transformer.py)
+        return P("model", None, None)
     if len(shape) >= 2 and shape[-1] % n_model == 0 and shape[-1] >= n_model:
         return P(*([None] * (len(shape) - 1) + ["model"]))
     if len(shape) == 1 and shape[0] % n_model == 0 and shape[0] >= max(8, n_model):

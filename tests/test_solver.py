@@ -263,3 +263,36 @@ def test_predictor_artifact_mode(tmp_path):
     x = {"x": np.random.rand(4, 1).astype("float32")}
     np.testing.assert_allclose(p.predict(x, batch_size=4)["u"],
                                np.asarray(infer({"x": x["x"]})["u"]), rtol=1e-6)
+
+
+def test_expert_parallel_moe_parity(tmp_path):
+    """Stacked MoE expert kernels shard over the model axis (expert
+    parallelism as GSPMD annotation); EP-sharded training matches the
+    replicated run exactly."""
+    import numpy as np
+    import jax
+    from paddlescience_tpu.parallel import mesh as mesh_mod
+
+    def build(mesh, out):
+        psci.utils.set_random_seed(3)
+        model = psci.arch.ExtFormerMoECuboid(
+            ("sst",), ("target",), input_shape=(4, 8, 8, 1), target_shape=(2, 8, 8, 1),
+            base_units=16, num_heads=2, enc_depth=(1,), dec_depth=(1,),
+            cuboid_size=(2, 4, 4), num_experts=4)
+        inp = {"sst": np.random.default_rng(0).random((4, 4, 8, 8, 1)).astype("float32")}
+        lab = {"target": np.zeros((4, 2, 8, 8, 1), "float32")}
+        c = psci.constraint.SupervisedConstraint(
+            {"dataset": {"name": "NamedArrayDataset", "input": inp, "label": lab},
+             "batch_size": 4, "iters_per_epoch": 1,
+             "sampler": {"name": "BatchSampler", "shuffle": False, "drop_last": False}},
+            psci.loss.MSELoss("mean"), name="Sup")
+        opt = psci.optimizer.Adam(1e-3)(model)
+        return psci.solver.Solver(model, {"Sup": c}, str(out), opt,
+                                  epochs=2, iters_per_epoch=1, mesh=mesh)
+
+    losses = {}
+    for name, (d, m) in {"dp": (8, 1), "ep": (2, 4)}.items():
+        s = build(mesh_mod.make_mesh(data=d, model=m), tmp_path / name)
+        s.train()
+        losses[name] = [l for _, l in s.loss_history]
+    np.testing.assert_allclose(losses["dp"], losses["ep"], rtol=2e-5, atol=1e-6)
