@@ -296,3 +296,35 @@ def test_expert_parallel_moe_parity(tmp_path):
         s.train()
         losses[name] = [l for _, l in s.loss_history]
     np.testing.assert_allclose(losses["dp"], losses["ep"], rtol=2e-5, atol=1e-6)
+
+
+def test_train_uses_fused_static_path_for_device_sampled(tmp_path, monkeypatch):
+    """Device-sampled constraints must route Solver.train() through the
+    static-batch fused scan (VERDICT r1 item 2: users get the fast path,
+    not just the bench)."""
+    import jax.numpy as jnp
+    from paddlescience_tpu.constraint.base import Constraint
+    from paddlescience_tpu.data import DeviceSampledDataset
+
+    import jax
+
+    def sample_fn(key):
+        x = jax.random.uniform(key, (32, 1))
+        return {"x": x}, {"u": jnp.zeros((32, 1))}, {}
+
+    c = Constraint(DeviceSampledDataset(sample_fn), None, psci.loss.MSELoss("mean"), "PDE")
+    c.output_expr = {"u": lambda out: out["u"]}
+    model = psci.arch.MLP(("x",), ("u",), 2, 8)
+    s = psci.solver.Solver(model, {"PDE": c}, str(tmp_path),
+                           psci.optimizer.Adam(1e-3)(model),
+                           epochs=1, iters_per_epoch=8)
+    called = {}
+    orig = s._train_fused_static
+
+    def spy(k):
+        called["k"] = k
+        return orig(k)
+
+    monkeypatch.setattr(s, "_train_fused_static", spy)
+    s.train()
+    assert called.get("k", 0) > 1, "train() did not take the fused static path"
