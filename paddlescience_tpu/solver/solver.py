@@ -509,8 +509,16 @@ class Solver:
 
     def _auto_fuse_steps(self) -> int:
         """Pick a scan fusion factor for static-batch training: the largest
-        divisor of iters_per_epoch not exceeding min(log_freq, 100)."""
-        cap = max(1, min(self.log_freq, 100, self.iters_per_epoch))
+        divisor of iters_per_epoch not exceeding min(log_freq, cap).
+
+        cap defaults to the full epoch (one dispatch + one log line per
+        epoch): on a latency-bound link (tunneled chip) each host round trip
+        costs ~0.3-0.5 s, so fusing 1000 steps instead of 100 is ~5x wall on
+        the flagship recipe. PSCI_FUSE_CAP overrides."""
+        import os as _os
+
+        hard_cap = int(_os.environ.get("PSCI_FUSE_CAP", self.iters_per_epoch))
+        cap = max(1, min(hard_cap, self.iters_per_epoch))
         for k in range(cap, 1, -1):
             if self.iters_per_epoch % k == 0:
                 return k
