@@ -259,3 +259,26 @@ def test_amgnet_coarsening_unet():
     out_flat = m({"input": (jnp.asarray(nf), jnp.asarray(ef), jnp.asarray(s), jnp.asarray(r))})["pred"]
     assert out_mg.shape == out_flat.shape == (48, 3)
     assert np.isfinite(np.asarray(out_mg)).all()
+
+
+def test_dgmr_latent_ensemble_and_discriminators():
+    """DGMR latent stack: distinct PRNG keys give distinct samples;
+    generation_steps>1 returns the ensemble; discriminators score (B,)."""
+    import jax
+    import jax.numpy as jnp
+
+    m = psci.arch.DGMR(("input_frames",), ("future_frames",),
+                       forecast_steps=3, input_channels=1, latent_channels=32,
+                       context_channels=24, num_input_frames=4, generation_steps=2)
+    x = {"input_frames": jnp.asarray(np.random.rand(2, 4, 1, 16, 16), jnp.float32)}
+    out = m(x)
+    assert out["future_frames"].shape == (2, 3, 1, 16, 16)
+    assert out["samples"].shape == (2, 2, 3, 1, 16, 16)
+    # different rng -> different samples (the latent stack is live)
+    m.set_rng(jax.random.PRNGKey(7))
+    out2 = m(x)
+    assert not np.allclose(np.asarray(out["future_frames"]), np.asarray(out2["future_frames"]))
+
+    disc = psci.arch.DGMRDiscriminators(input_channels=1, hidden=8)
+    s, t = disc(out["future_frames"])
+    assert s.shape == (2,) and t.shape == (2,)
