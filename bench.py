@@ -249,17 +249,19 @@ def main():
 
     ac = bench_allen_cahn(steps, batch, max(fused, 1))
 
-    def in_budget():
-        return time.perf_counter() - t_start < args.budget
+    def in_budget(case_estimate_s: float = 0.0):
+        # a started case runs to completion (compiles are uninterruptible),
+        # so require headroom for the case's expected duration up front
+        return time.perf_counter() - t_start + case_estimate_s < args.budget
 
     # cylinder before piratenet: it carries the measured vs-published ratio
     extra = {}
     cyl = None
-    if "cylinder" in cases and not args.smoke and in_budget():
+    if "cylinder" in cases and not args.smoke and in_budget(1300):
         cyl_steps = max(steps // 20, 10)
         cyl = bench_cylinder(cyl_steps, max(min(fused, cyl_steps), 1))
         extra["cylinder2d_matched"] = cyl
-    if "piratenet" in cases and not args.smoke and in_budget():
+    if "piratenet" in cases and not args.smoke and in_budget(600):
         extra["piratenet_9x256"] = bench_allen_cahn(
             max(steps // 4, 40), batch, max(min(fused, steps // 4), 1),
             arch="piratenet", piratenet_blocks=9)
