@@ -43,12 +43,6 @@ os.environ.setdefault("PSCI_MATMUL_PRECISION", "default")
 
 # published measured baseline (reference test_tipc/README.MD:13-17)
 CYLINDER_REF_IPS = 1264165.641
-# last full measurement of the cylinder case on this harness (reused in the
-# headline JSON when the wall-clock budget skips the case — compiles over a
-# tunneled chip take ~20 min; a dated real measurement beats a null)
-LAST_MEASURED_CYLINDER = {"ips": 830929.8, "vs_published_ref_ips": 0.657,
-                          "mfu": 0.0734, "date": "2026-08-17",
-                          "chip": "TPU v5e (1 chip, tunneled)"}
 
 # peak dense bf16 FLOP/s per chip by device kind (public TPU specs)
 PEAK_FLOPS = {
@@ -137,10 +131,18 @@ def bench_allen_cahn(steps, batch, fused, arch="mlp", piratenet_blocks=3):
     }
 
 
-def build_matched_cylinder(iters_per_epoch):
+def build_matched_cylinder(scan_steps):
     """The reference TIPC cylinder2d_unsteady_Re100 workload with matched
     per-step point counts (NPOINT_PDE=9420 x NTIME=30, inlet_cylinder
-    161x30, outlet 81x30, IC 9420; reference conf yaml:43-58)."""
+    161x30, outlet 81x30, IC 9420; reference conf yaml:43-58).
+
+    The reference trains with ``iters_per_epoch: 1`` (conf yaml:62): the
+    constraint samples exactly batch_size points and the iterable dataset
+    feeds that full batch every step — 292,950 points per optimizer step.
+    ``scan_steps`` only sets how many steps one jitted lax.scan call fuses
+    (round-2 bench passed it as the dataset's iters_per_epoch, which made
+    the full-mode loader feed scan_steps x batch_size points per step —
+    60x the reference's per-step work, uncredited in ips)."""
     import numpy as np
 
     import paddlescience_tpu as psci
@@ -156,7 +158,7 @@ def build_matched_cylinder(iters_per_epoch):
         psci.geometry.TimeDomain(1.0, 50.0, timestamps=timestamps), channel - cylinder)
 
     NPOINT_PDE, NTIME = 9420, 30
-    cfg = {"dataset": "IterableNamedArrayDataset", "iters_per_epoch": iters_per_epoch}
+    cfg = {"dataset": "IterableNamedArrayDataset", "iters_per_epoch": 1}
     pde = psci.constraint.InteriorConstraint(
         equation["NavierStokes"].equations,
         {"continuity": 0, "momentum_x": 0, "momentum_y": 0},
@@ -180,15 +182,14 @@ def build_matched_cylinder(iters_per_epoch):
     constraint = {c.name: c for c in (pde, bc_inlet_cyl, bc_outlet, ic)}
     total_points = NPOINT_PDE * NTIME + 161 * NTIME + 81 * NTIME + 9420
 
+    # at the reference's true per-step batch (292,950 points) the derivative
+    # stacks fit HBM without microbatching; PSCI_BENCH_CYL_CHUNKS>0 opts
+    # back into lax-unrolled checkpointed chunks
+    chunks = int(os.environ.get("PSCI_BENCH_CYL_CHUNKS", "0"))
     solver = psci.solver.Solver(
         model, constraint, None, psci.optimizer.Adam(1e-3)(model),
-        epochs=1, iters_per_epoch=iters_per_epoch, log_freq=10**9,
-        # 280k-point NS batch: 2nd-derivative stacks need ~3 GB of
-        # activations at full batch; lax.map+checkpoint chunks keep the
-        # identical gradient with bounded HBM. Chunk count via env
-        # (PSCI_BENCH_CYL_CHUNKS, 0 = no microbatching).
-        microbatch=({"EQ": NPOINT_PDE * NTIME // int(os.environ.get("PSCI_BENCH_CYL_CHUNKS", "10"))}
-                    if int(os.environ.get("PSCI_BENCH_CYL_CHUNKS", "10")) > 0 else None))
+        epochs=1, iters_per_epoch=scan_steps, log_freq=10**9,
+        microbatch=({"EQ": NPOINT_PDE * NTIME // chunks} if chunks > 0 else None))
     return solver, total_points
 
 
@@ -270,14 +271,13 @@ def main():
         "metric": "allen_cahn_train_steps_per_sec_per_chip",
         "value": ac["steps_per_sec_per_chip"],
         "unit": f"steps/s/chip (batch={batch}, {jax.devices()[0].platform}, bf16-matmul/f32-acc)",
-        "vs_baseline": (cyl["vs_published_ref_ips"] if cyl
-                        else LAST_MEASURED_CYLINDER["vs_published_ref_ips"]),
+        "vs_baseline": (cyl["vs_published_ref_ips"] if cyl else None),
+        "stale": cyl is None,
         "baseline": ("cylinder2d_unsteady_Re100 ips vs published 1264165.641"
                      " (reference test_tipc/README.MD:13-17, FP32 1xGPU) — measured ratio"
                      if cyl else
-                     f"cylinder case skipped this run (budget); ratio is the last full"
-                     f" measurement on {LAST_MEASURED_CYLINDER['chip']},"
-                     f" {LAST_MEASURED_CYLINDER['date']}: ips {LAST_MEASURED_CYLINDER['ips']}"),
+                     "cylinder case did not run this invocation (budget); no ratio"
+                     " is reported — rerun with --cases cylinder for a fresh one"),
         "mfu": ac["mfu"],
         "xla_flops_per_step": ac["xla_flops_per_step"],
         "mfu_note": "mfu = XLA-counted executed FLOPs per step x steps/s / chip peak bf16 — hardware utilization incl. derivative-stack recomputation, not algorithmic model FLOPs",

@@ -90,6 +90,10 @@ def build_solver(
     seed: int = 42,
     arch: str = "mlp",
     piratenet_blocks: int = 3,
+    learning_rate: float = 1e-3,
+    gamma: float = 0.9,
+    decay_steps: int = 2000,
+    checkpoint_path: str = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -159,7 +163,8 @@ def build_solver(
     constraint = {"PDE": pde, "IC": ic}
 
     lr = psci.optimizer.lr_scheduler.ExponentialDecay(
-        epochs=epochs, iters_per_epoch=iters_per_epoch, learning_rate=1e-3, gamma=0.9, decay_steps=2000
+        epochs=epochs, iters_per_epoch=iters_per_epoch, learning_rate=learning_rate,
+        gamma=gamma, decay_steps=decay_steps,
     )()
     optimizer = psci.optimizer.Adam(lr)(model)
 
@@ -197,6 +202,7 @@ def build_solver(
         loss_aggregator=mtl.GradNorm(model, len(constraint), 1000, 0.9),
         log_freq=100,
         seed=seed,
+        checkpoint_path=checkpoint_path,
     )
     return solver, (t_star, x_star, u_ref)
 
@@ -213,6 +219,10 @@ def _solver_from_cfg(cfg, **overrides):
         seed=cfg.seed,
         arch=cfg.MODEL.arch,
         piratenet_blocks=cfg.MODEL.get("piratenet_blocks", 3),
+        learning_rate=cfg.TRAIN.get("learning_rate", 1e-3),
+        gamma=cfg.TRAIN.get("gamma", 0.9),
+        decay_steps=cfg.TRAIN.get("decay_steps", 2000),
+        checkpoint_path=cfg.TRAIN.get("checkpoint_path", None),
     )
     kw.update(overrides)
     return build_solver(**kw)

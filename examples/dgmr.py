@@ -43,7 +43,7 @@ def grid_cell_regularizer(gen, target):
     return jnp.mean(jnp.abs(gen - target) * weights)
 
 
-def run(cfg=None, epochs=5, t_in=4, t_out=6, hw=32, lr=1e-4, n_seq=4):
+def run(cfg=None, epochs=5, t_in=4, t_out=6, hw=64, lr=1e-4, n_seq=4):
     import jax
     import jax.numpy as jnp
     import optax
@@ -52,8 +52,8 @@ def run(cfg=None, epochs=5, t_in=4, t_out=6, hw=32, lr=1e-4, n_seq=4):
     ctx, future = synth_radar(n=n_seq, t_in=t_in, t_out=t_out, hw=hw)
     model = psci.arch.DGMR(("input_frames",), ("future_frames",),
                            forecast_steps=t_out, input_channels=1,
-                           latent_channels=32, context_channels=24,
-                           num_input_frames=t_in)
+                           latent_channels=32, context_channels=32,
+                           num_input_frames=t_in, output_shape=hw)
     params = model.param_tree()
     tx = optax.adam(lr)
     opt = tx.init(params)
@@ -79,7 +79,7 @@ def run(cfg=None, epochs=5, t_in=4, t_out=6, hw=32, lr=1e-4, n_seq=4):
     # hinge scores with the spatial + temporal discriminators (reference
     # _loss_hinge_disc/_loss_hinge_gen, dgmr.py:161-174)
     gen = model.apply(params, {"input_frames": x})["future_frames"]
-    disc = psci.arch.DGMRDiscriminators(input_channels=1, hidden=16)
+    disc = psci.arch.DGMRDiscriminators(input_channels=1)
 
     def disc_score(frames):
         s, t = disc(frames)

@@ -17,7 +17,8 @@ from paddlescience_tpu.arch.fno import FNONet, TFNO1dNet, TFNO2dNet, TFNO3dNet  
 from paddlescience_tpu.arch.lno import LNO  # noqa: F401
 from paddlescience_tpu.arch.model_list import ModelList  # noqa: F401
 from paddlescience_tpu.arch.moflow_net import MoFlowNet, MoFlowProp  # noqa: F401
-from paddlescience_tpu.arch.nowcasting import DGMR, DGMRDiscriminators, NowcastNet  # noqa: F401
+from paddlescience_tpu.arch.dgmr import DGMR, DGMRDiscriminator, DGMRDiscriminators  # noqa: F401
+from paddlescience_tpu.arch.nowcasting import NowcastNet  # noqa: F401
 from paddlescience_tpu.arch.gan import Discriminator, Generator  # noqa: F401
 from paddlescience_tpu.arch.geofno import FNO1d, VelocityDiscriminator, VelocityGenerator  # noqa: F401
 from paddlescience_tpu.arch.graph_nets import (  # noqa: F401

@@ -81,28 +81,58 @@ class AFNO2D(Module):
 
 
 class _Mlp(Module):
-    def __init__(self, in_f, hidden_f, *, rngs: Rngs):
+    """Two-layer gelu MLP with optional dropout (reference afno.py:108-142)."""
+
+    def __init__(self, in_f, hidden_f, drop: float = 0.0, *, rngs: Rngs):
         self.fc1 = Linear(in_f, hidden_f, rngs=rngs)
         self.fc2 = Linear(hidden_f, in_f, rngs=rngs)
+        self.drop = drop
 
-    def __call__(self, x):
-        return self.fc2(jax.nn.gelu(self.fc1(x)))
+    def __call__(self, x, key=None):
+        h = jax.nn.gelu(self.fc1(x))
+        if self.drop > 0.0 and key is not None:
+            k1, key = jax.random.split(key)
+            h = jnp.where(jax.random.bernoulli(k1, 1 - self.drop, h.shape), h / (1 - self.drop), 0.0)
+        y = self.fc2(h)
+        if self.drop > 0.0 and key is not None:
+            y = jnp.where(jax.random.bernoulli(key, 1 - self.drop, y.shape), y / (1 - self.drop), 0.0)
+        return y
+
+
+def _drop_path(x, rate, key):
+    """Stochastic depth over the batch axis (reference DropPath afno.py:64-81)."""
+    if rate == 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, 0.0)
 
 
 class _AFNOBlock(Module):
-    """LayerNorm -> AFNO mixer -> LayerNorm -> MLP, residual both
-    (reference afno.py:296)."""
+    """LayerNorm -> AFNO mixer (-> +residual if double_skip) -> LayerNorm ->
+    MLP -> DropPath -> +residual (reference afno.py:296-356)."""
 
-    def __init__(self, dim, num_blocks, sparsity_threshold, hard_frac, mlp_ratio, *, rngs: Rngs):
+    def __init__(self, dim, num_blocks, sparsity_threshold, hard_frac, mlp_ratio,
+                 drop=0.0, drop_path=0.0, double_skip=True, *, rngs: Rngs):
         self.norm1 = LayerNorm(dim, epsilon=1e-6)
         self.filter = AFNO2D(dim, num_blocks, sparsity_threshold, hard_frac, rngs=rngs)
         self.norm2 = LayerNorm(dim, epsilon=1e-6)
-        self.mlp = _Mlp(dim, int(dim * mlp_ratio), rngs=rngs)
+        self.mlp = _Mlp(dim, int(dim * mlp_ratio), drop, rngs=rngs)
+        self.double_skip = double_skip
+        self.drop_path = drop_path
 
-    def __call__(self, x):
-        x = x + self.filter(self.norm1(x))
-        x = x + self.mlp(self.norm2(x))
-        return x
+    def __call__(self, x, key=None):
+        residual = x
+        h = self.filter(self.norm1(x))  # filter includes its own +bias
+        if self.double_skip:
+            h = h + residual
+            residual = h
+        k1 = k2 = None
+        if key is not None:
+            k1, k2 = jax.random.split(key)
+        y = self.mlp(self.norm2(h), k1)
+        y = _drop_path(y, self.drop_path, k2)
+        return y + residual
 
 
 class AFNONet(base.Arch):
@@ -146,9 +176,12 @@ class AFNONet(base.Arch):
         self.pos_embed = Param(
             initializer.trunc_normal_(0.0, 0.02)(rngs.params(), (1, n_patches, embed_dim))
         )
+        # stochastic depth decays linearly over blocks (reference afno.py:472)
+        dpr = [float(v) for v in jnp.linspace(0, drop_path_rate, depth)]
         self.blocks = [
-            _AFNOBlock(embed_dim, num_blocks, sparsity_threshold, hard_thresholding_fraction, mlp_ratio, rngs=rngs)
-            for _ in range(depth)
+            _AFNOBlock(embed_dim, num_blocks, sparsity_threshold, hard_thresholding_fraction,
+                       mlp_ratio, drop=drop_rate, drop_path=dpr[i], rngs=rngs)
+            for i in range(depth)
         ]
         self.norm = LayerNorm(embed_dim, epsilon=1e-6)
         self.head = Linear(embed_dim, out_channels * patch_size[0] * patch_size[1], bias=False, rngs=rngs)

@@ -88,15 +88,23 @@ class CuboidSelfAttention(Module):
             self.g_q = Linear(dim, dim, rngs=rngs)
             self.g_out = Linear(dim, dim, rngs=rngs)
 
-    def __call__(self, x, g=None):
+    def __call__(self, x, g=None, qkv_vol=None):
+        """``qkv_vol``: optional precomputed (B, T, H, W, 3C) projection —
+        the attention-MoE path routes the qkv projection per token on the
+        full volume before cuboid decomposition."""
         B, T, H, W, C = x.shape
         cub = tuple(min(c, s) for c, s in zip(self.cuboid, (T, H, W)))
         if self.shift:
             sh = tuple(c // 2 for c in cub)
             x = jnp.roll(x, shift=(-sh[0], -sh[1], -sh[2]), axis=(1, 2, 3))
+            if qkv_vol is not None:
+                qkv_vol = jnp.roll(qkv_vol, shift=(-sh[0], -sh[1], -sh[2]), axis=(1, 2, 3))
         tok = _partition_cuboids(x, cub)  # (B*nc, L, C)
         Bn, L, _ = tok.shape
-        qkv = self.qkv(tok).reshape(Bn, L, 3, C)
+        if qkv_vol is None:
+            qkv = self.qkv(tok).reshape(Bn, L, 3, C)
+        else:
+            qkv = _partition_cuboids(qkv_vol, cub).reshape(Bn, L, 3, C)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.use_global and g is not None:
             # every cuboid also attends over the (B, G, C) global tokens
@@ -130,66 +138,56 @@ class _FFN(Module):
         return self.fc2(jax.nn.gelu(self.fc1(x)))
 
 
-class _MoEFFN(Module):
-    """Soft mixture-of-experts FFN with STACKED expert weights (reference
-    extformer_moe_cuboid*.py routes densely on one device, SURVEY §2.3).
-
-    TPU-native upgrade: expert kernels live as (E, D, H)/(E, H, D) stacks so
-    the leading expert axis can shard over the mesh "model" axis — expert
-    parallelism as a pure GSPMD annotation (``parallel.mesh.param_spec``
-    shards leading axes of 3-D stacks when divisible); XLA inserts the
-    all-reduce over the softly-gated expert sum."""
-
-    def __init__(self, dim, hidden, num_experts, *, rngs: Rngs):
-        import math as _math
-
-        from paddlescience_tpu.nn.core import Param
-
-        self.gate = Linear(dim, num_experts, rngs=rngs)
-        s_in = _math.sqrt(1.0 / dim)
-        s_out = _math.sqrt(1.0 / hidden)
-        self.w_in = Param(s_in * jax.random.normal(rngs.params(), (num_experts, dim, hidden)))
-        self.b_in = Param(jnp.zeros((num_experts, hidden)))
-        self.w_out = Param(s_out * jax.random.normal(rngs.params(), (num_experts, hidden, dim)))
-        self.b_out = Param(jnp.zeros((num_experts, dim)))
-        self.num_experts = num_experts
-
-    def __call__(self, x):
-        gates = jax.nn.softmax(self.gate(x), axis=-1)  # (..., E)
-        h = jax.nn.gelu(jnp.einsum("...d,edh->...eh", x, self.w_in) + self.b_in)
-        outs = jnp.einsum("...eh,ehd->...ed", h, self.w_out) + self.b_out
-        return jnp.einsum("...ed,...e->...d", outs, gates)
-
-
 class _CuboidBlock(Module):
-    """Pre-norm self-attention + FFN, with global-vector pathway."""
+    """Pre-norm self-attention + FFN, with global-vector pathway. With
+    ``moe_config`` the FFN becomes a noisy-top-k ``MixtureFFN`` and (when
+    use_attn_moe) the qkv projection a ``MixtureLinear`` (reference
+    extformer_moe_cuboid_encoder.py:1764-1976); blocks then return a third
+    element: the gate's load-balancing aux loss."""
 
     def __init__(self, dim, num_heads, cuboid_size, shift, mlp_ratio,
-                 num_experts=0, use_global=False, *, rngs: Rngs):
+                 moe_config=None, expert_shape=None, use_global=False, *, rngs: Rngs):
+        from paddlescience_tpu.arch.extformer_moe import MixtureFFN, MixtureLinear
+
         self.ln1 = LayerNorm(dim)
         self.attn = CuboidSelfAttention(dim, num_heads, cuboid_size, shift,
                                         use_global=use_global, rngs=rngs)
         self.ln2 = LayerNorm(dim)
-        self.use_moe = num_experts > 0
+        self.use_moe = bool(moe_config) and moe_config.get("use_ffn_moe", True)
+        self.use_attn_moe = bool(moe_config) and moe_config.get("use_attn_moe", False)
         self.use_global = use_global
         if self.use_moe:
-            self.moe = _MoEFFN(dim, int(dim * mlp_ratio), num_experts, rngs=rngs)
+            self.moe = MixtureFFN(dim, int(dim * mlp_ratio), expert_shape, moe_config, rngs=rngs)
         else:
             self.ffn = _FFN(dim, int(dim * mlp_ratio), rngs=rngs)
+        if self.use_attn_moe:
+            # qkv routed per token on the full volume before cuboid
+            # decomposition (reference MixtureSelfAttention wraps the
+            # attention projections as MixtureLinear)
+            self.attn_qkv_moe = MixtureLinear(dim, 3 * dim, expert_shape, moe_config, rngs=rngs)
         if use_global:
             self.g_ln = LayerNorm(dim)
             self.g_ffn = _FFN(dim, int(dim * mlp_ratio), rngs=rngs)
 
-    def __call__(self, x, g=None):
-        a, g = self.attn(self.ln1(x), g)
+    def __call__(self, x, g=None, moe_key=None):
+        aux = jnp.zeros(())
+        xn = self.ln1(x)
+        if self.use_attn_moe:
+            qkv_vol, a_aux = self.attn_qkv_moe(xn, moe_key)
+            aux = aux + a_aux
+            a, g = self.attn(xn, g, qkv_vol=qkv_vol)
+        else:
+            a, g = self.attn(xn, g)
         x = x + a
         if self.use_moe:
-            x = x + self.moe(self.ln2(x))
+            y, m_aux = self.moe(self.ln2(x), moe_key)
+            x = x + y
+            aux = aux + m_aux
         else:
             x = x + self.ffn(self.ln2(x))
         if self.use_global and g is not None:
             g = g + self.g_ffn(self.g_ln(g))
-        return x, g
+        return x, g, aux
 
 
 class _CrossBlock(Module):
@@ -307,23 +305,43 @@ class _FinalDecoder(Module):
 
 
 class ExtFormerMoECuboid(base.Arch):
-    """Cuboid transformer with MoE FFN blocks (reference
-    ppsci/arch/extformer_moe_cuboid.py; dense single-device routing like the
-    reference, SURVEY §2.3). Same I/O contract as CuboidTransformer."""
+    """Cuboid transformer with noisy-top-k MoE routing (reference
+    ppsci/arch/extformer_moe_cuboid.py + extformer_moe_cuboid_encoder.py:
+    1678-1877 + extformer_moe_utils.py:9-416). Same I/O contract as
+    CuboidTransformer plus an ``aux_loss`` output carrying the summed gate
+    load-balancing losses (wire it into the training loss with the
+    importance/load weights set in ``moe_config``).
+
+    ``moe_config`` keys follow the reference conf
+    (examples/extformer_moe/conf yaml:110-119): num_experts, out_planes
+    (top-k), gate_style (linear | spatial-latent | cuboid-latent |
+    spatial-latent-linear | cuboid-latent-linear), dispatch_style,
+    aux_loss_style (all | cell), importance_weight, load_weight,
+    use_ffn_moe, use_attn_moe."""
 
     def __init__(self, input_keys, output_keys, input_shape, target_shape, base_units=64,
                  num_heads=4, enc_depth=(2,), dec_depth=(2,), cuboid_size=(2, 4, 4),
-                 mlp_ratio=4.0, num_experts=4, *, rngs: Optional[Rngs] = None, **kwargs):
+                 mlp_ratio=4.0, num_experts=4, moe_config: Optional[Dict] = None,
+                 *, rngs: Optional[Rngs] = None, **kwargs):
         super().__init__()
         if rngs is None:
             rngs = Rngs(0)
+        if moe_config is None:
+            from paddlescience_tpu.arch.extformer_moe import default_moe_config
+
+            moe_config = default_moe_config(
+                num_experts=num_experts, out_planes=min(4, max(2, num_experts)))
         self.inner = CuboidTransformer(
             input_keys, output_keys, input_shape, target_shape, base_units, num_heads,
             enc_depth, dec_depth, cuboid_size, mlp_ratio,
-            num_experts=num_experts, rngs=rngs,
+            moe_config=moe_config, rngs=rngs,
         )
         self.input_keys = self.inner.input_keys
         self.output_keys = self.inner.output_keys
+        self.moe_config = moe_config
+
+    def set_train_rng(self, key) -> None:
+        self.inner.set_train_rng(key)
 
     def __call__(self, x):
         return self.inner(x)
@@ -353,6 +371,7 @@ class CuboidTransformer(base.Arch):
         downsample: int = 2,
         remat: bool = False,
         num_experts: int = 0,
+        moe_config: Optional[Dict] = None,
         num_global_vectors: int = 4,
         dec_cross_cuboid_hw: Tuple[int, int] = (4, 4),
         initial_conv_layers: int = 2,
@@ -380,6 +399,16 @@ class CuboidTransformer(base.Arch):
         hw = [(max(H >> i, 1), max(W >> i, 1)) for i in range(self.num_levels)]
         self.hw = hw
 
+        # MoE: explicit moe_config (reference extformer_moe conf keys), or
+        # the compat shorthand num_experts>0 -> noisy top-k with defaults
+        if moe_config is None and num_experts > 0:
+            from paddlescience_tpu.arch.extformer_moe import default_moe_config
+
+            moe_config = default_moe_config(
+                num_experts=num_experts, out_planes=min(4, max(2, num_experts)))
+        self.moe_config = moe_config
+        self._moe_rng = None
+
         self.initial_encoder = _InitialEncoder(C_in, base_units, initial_conv_layers, rngs=rngs)
         self.pos = Param(initializer.trunc_normal_(0.0, 0.02)(rngs.params(), (1, T_in, H, W, base_units)))
         if self.num_global > 0:
@@ -392,7 +421,8 @@ class CuboidTransformer(base.Arch):
         for lev, depth in enumerate(enc_depth):
             blocks = [
                 _CuboidBlock(dims[lev], num_heads, cuboid_size, (d % 2 == 1), mlp_ratio,
-                             num_experts, use_global=self.num_global > 0, rngs=rngs)
+                             moe_config, (T_in, *hw[lev]),
+                             use_global=self.num_global > 0, rngs=rngs)
                 for d in range(depth)
             ]
             enc_levels.append(ModuleList(blocks))
@@ -406,7 +436,7 @@ class CuboidTransformer(base.Arch):
         for lev in reversed(range(self.num_levels)):
             dec_self.append(ModuleList([
                 _CuboidBlock(dims[lev], num_heads, cuboid_size, (d % 2 == 1), mlp_ratio,
-                             num_experts, use_global=False, rngs=rngs)
+                             moe_config, (T_out, *hw[lev]), use_global=False, rngs=rngs)
                 for d in range(dec_depth[lev])
             ]))
             dec_cross.append(ModuleList([
@@ -425,12 +455,25 @@ class CuboidTransformer(base.Arch):
     def _maybe_ckpt(self, fn, *args):
         return jax.checkpoint(fn)(*args) if self.remat else fn(*args)
 
+    def set_train_rng(self, key) -> None:
+        """Enable noisy MoE gating + aux losses for subsequent calls (pass a
+        fresh key per step inside the traced loss for per-step noise;
+        ``None`` restores deterministic eval routing)."""
+        self._moe_rng = key
+
     def __call__(self, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         if self._input_transform is not None:
             x = self._input_transform(x)
         h = x[self.input_keys[0]]  # (B, T, H, W, C)
         B = h.shape[0]
         h = self.initial_encoder(h) + self.pos
+
+        moe_keys = iter([])
+        if self.moe_config is not None and self._moe_rng is not None:
+            n_blocks = sum(len(b) for b in self.enc_levels) + sum(len(b) for b in self.dec_self)
+            moe_keys = iter(list(jax.random.split(self._moe_rng, n_blocks)))
+        next_key = lambda: next(moe_keys, None)
+        total_aux = jnp.zeros(())
 
         g = None
         if self.num_global > 0:
@@ -440,7 +483,8 @@ class CuboidTransformer(base.Arch):
         mem_l, g_l = [], []
         for lev, blocks in enumerate(self.enc_levels):
             for blk in blocks:
-                h, g = self._maybe_ckpt(blk, h, g)
+                h, g, aux = self._maybe_ckpt(blk, h, g, next_key())
+                total_aux = total_aux + aux
             mem_l.append(h)
             g_l.append(g)
             if lev < self.num_levels - 1:
@@ -458,13 +502,18 @@ class CuboidTransformer(base.Arch):
         # ---- hierarchical decoder: coarse -> fine, cross into memories ----
         for i, lev in enumerate(reversed(range(self.num_levels))):
             for sblk, cblk in zip(self.dec_self[i], self.dec_cross[i]):
-                z, _ = self._maybe_ckpt(sblk, z, None)
+                z, _, aux = self._maybe_ckpt(sblk, z, None, next_key())
+                total_aux = total_aux + aux
                 z = self._maybe_ckpt(cblk, z, mem_l[lev], g_l[lev])
             if lev > 0:
                 z = self.upsamplers[i](z, self.hw[lev - 1])
 
         out = self.final_decoder(z)
         result = {self.output_keys[0]: out}
+        if self.moe_config is not None:
+            # gate load-balancing aux losses, summed over all MoE blocks
+            # (reference aggregate_aux_losses, extformer_moe_utils.py:318-323)
+            result["aux_loss"] = total_aux.reshape(1, 1)
         if self._output_transform is not None:
             result = self._output_transform(x, result)
         return result

@@ -50,8 +50,12 @@ class Linear(Module):
             self.has_bias = False
         self._use_bias = bias
 
+    def _kernel(self):
+        """Effective weight — override point for reparameterizations."""
+        return self.weight
+
     def __call__(self, x):
-        y = x @ self.weight
+        y = x @ self._kernel()
         if self._use_bias:
             y = y + self.bias
         return y
@@ -102,6 +106,11 @@ class Conv(Module):
             (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"),
         )
 
+    def _kernel(self):
+        """Effective conv kernel — override point for weight reparameterizations
+        (e.g. spectral normalization, ``arch/dgmr.py``)."""
+        return self.weight
+
     def __call__(self, x):
         # accept (*spatial, C) or (N, *spatial, C)
         squeeze = x.ndim == self.ndim + 1
@@ -109,7 +118,7 @@ class Conv(Module):
             x = x[None]
         y = jax.lax.conv_general_dilated(
             x,
-            self.weight,
+            self._kernel(),
             window_strides=self.strides,
             padding=self.padding,
             rhs_dilation=self.dilation,

@@ -262,23 +262,142 @@ def test_amgnet_coarsening_unet():
 
 
 def test_dgmr_latent_ensemble_and_discriminators():
-    """DGMR latent stack: distinct PRNG keys give distinct samples;
-    generation_steps>1 returns the ensemble; discriminators score (B,)."""
+    """DGMR at reference structure (conditioning pyramid to H/32, latent
+    LBlock+attention stack, 4-level ConvGRU sampler): distinct PRNG keys give
+    distinct samples; generation_steps>1 returns the ensemble; discriminators
+    score (B,). Reference ppsci/arch/dgmr.py:15-115."""
     import jax
     import jax.numpy as jnp
 
     m = psci.arch.DGMR(("input_frames",), ("future_frames",),
-                       forecast_steps=3, input_channels=1, latent_channels=32,
-                       context_channels=24, num_input_frames=4, generation_steps=2)
-    x = {"input_frames": jnp.asarray(np.random.rand(2, 4, 1, 16, 16), jnp.float32)}
+                       forecast_steps=4, input_channels=1, latent_channels=32,
+                       context_channels=32, num_input_frames=4, generation_steps=2,
+                       output_shape=64)
+    x = {"input_frames": jnp.asarray(np.random.rand(2, 4, 1, 64, 64), jnp.float32)}
     out = m(x)
-    assert out["future_frames"].shape == (2, 3, 1, 16, 16)
-    assert out["samples"].shape == (2, 2, 3, 1, 16, 16)
+    assert out["future_frames"].shape == (2, 4, 1, 64, 64)
+    assert out["samples"].shape == (2, 2, 4, 1, 64, 64)
     # different rng -> different samples (the latent stack is live)
     m.set_rng(jax.random.PRNGKey(7))
     out2 = m(x)
     assert not np.allclose(np.asarray(out["future_frames"]), np.asarray(out2["future_frames"]))
 
-    disc = psci.arch.DGMRDiscriminators(input_channels=1, hidden=8)
+    disc = psci.arch.DGMRDiscriminators(input_channels=1)
     s, t = disc(out["future_frames"])
     assert s.shape == (2,) and t.shape == (2,)
+
+
+def test_dgmr_structure_fidelity():
+    """Reference-structure checks (ppsci/arch/dgmr.py): 4-scale conditioning
+    pyramid with the documented channel widths, latent stack output
+    (1, H/32, W/32, latent), spectral-norm weights have unit top singular
+    value, and the default config's parameter count is in the reference
+    class (~54M generator + ~45M discriminators)."""
+    import jax
+    import jax.numpy as jnp
+
+    from paddlescience_tpu.arch import dgmr as dgmr_mod
+
+    m = psci.arch.DGMR(("in",), ("out",), forecast_steps=2, input_channels=1,
+                       latent_channels=64, context_channels=32,
+                       num_input_frames=4, output_shape=64)
+    seq = jnp.asarray(np.random.rand(1, 4, 1, 64, 64), jnp.float32)
+    scales = m.conditioning_stack(seq)
+    # largest spatial first: H/4 .. H/32 with channels c/8, c/4, c/2, c
+    assert [s.shape for s in scales] == [
+        (1, 16, 16, 4), (1, 8, 8, 8), (1, 4, 4, 16), (1, 2, 2, 32)]
+    z = m.latent_stack(jax.random.PRNGKey(0))
+    assert z.shape == (1, 2, 2, 64)
+    frames = m.sampler(scales, z)
+    assert frames.shape == (1, 2, 64, 64, 1)
+
+    # spectral norm: reparameterized kernel has top singular value ~1
+    conv = dgmr_mod.SNConv(8, 16, (3, 3), padding="SAME", rngs=psci.nn.Rngs(0))
+    conv.weight = psci.nn.Param(3.0 * np.asarray(conv.weight))  # scale up
+    k = conv._kernel().reshape(-1, 16)
+    top_sv = float(jnp.linalg.svd(k, compute_uv=False)[0])
+    assert abs(top_sv - 1.0) < 0.1
+
+    # default config parameter count within 2x of the reference architecture
+    big = psci.arch.DGMR(("in",), ("out",))
+    n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(big.param_tree()))
+    assert 27e6 < n < 108e6  # measured 53.6M at reference defaults (768/384)
+
+
+def test_extformer_moe_routing_and_aux_losses():
+    """Noisy top-k MoE at reference structure (extformer_moe_utils.py:9-315,
+    extformer_moe_cuboid_encoder.py:1678-1877): top-k gates renormalize,
+    dense-dispatch combine equals manual expert selection, every gate style
+    builds and routes, and aux (importance+load) losses appear only in
+    training mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from paddlescience_tpu.arch.extformer_moe import (
+        GatingNet, MixtureFFN, default_moe_config)
+    from paddlescience_tpu import nn
+
+    cfg = default_moe_config(num_experts=5, out_planes=2, gate_style="linear",
+                             importance_weight=0.3, load_weight=0.7)
+    x = jnp.asarray(np.random.rand(2, 3, 4, 4, 8), jnp.float32)
+    gate = GatingNet(cfg, (3, 4, 4), 8, rngs=nn.Rngs(0))
+
+    gates, idx, aux = gate(x)  # eval mode
+    assert gates.shape == (2, 3, 4, 4, 2) and idx.shape == (2, 3, 4, 4, 2)
+    np.testing.assert_allclose(np.asarray(gates.sum(-1)), 1.0, rtol=1e-5)
+    assert float(aux) == 0.0
+    # top-k indices really are the argmax experts of the softmaxed logits
+    logits = jax.nn.softmax(gate._raw_logits(x), axis=-1)
+    np.testing.assert_array_equal(np.asarray(idx[..., 0]), np.asarray(jnp.argmax(logits, -1)))
+
+    _, _, aux_t = gate(x, key=jax.random.PRNGKey(0))  # train mode
+    assert float(aux_t) > 0.0
+
+    # per-style construction + routing
+    for style in ("spatial-latent", "cuboid-latent", "spatial-latent-linear", "cuboid-latent-linear"):
+        g = GatingNet(default_moe_config(num_experts=4, out_planes=2, gate_style=style),
+                      (3, 4, 4), 8, rngs=nn.Rngs(1))
+        gg, ii, _ = g(x)
+        assert gg.shape == (2, 3, 4, 4, 2)
+
+    # MixtureFFN: combine equals manual gather of per-expert outputs
+    ffn = MixtureFFN(8, 16, (3, 4, 4), cfg, rngs=nn.Rngs(2))
+    y, _ = ffn(x)
+    assert y.shape == x.shape
+    gates, idx, _ = ffn.gate(x)
+    h = jax.nn.gelu(jnp.einsum("bthwd,edf->bthwef", x, ffn.w_in) + ffn.b_in)
+    outs = jnp.einsum("bthwef,efd->bthwed", h, ffn.w_out) + ffn.b_out
+    manual = sum(
+        jnp.take_along_axis(outs, idx[..., k:k+1, None], axis=-2)[..., 0, :] * gates[..., k:k+1]
+        for k in range(2))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(manual), rtol=1e-5, atol=1e-6)
+
+    # cell-style aux loss path
+    cfg_cell = default_moe_config(num_experts=4, out_planes=2, aux_loss_style="cell",
+                                  gate_style="linear", importance_weight=1.0, load_weight=1.0)
+    g = GatingNet(cfg_cell, (3, 4, 4), 8, rngs=nn.Rngs(3))
+    _, _, aux_c = g(x, key=jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux_c)) and float(aux_c) > 0
+
+
+def test_extformer_moe_cuboid_aux_loss_output():
+    """ExtFormerMoECuboid returns the summed aux_loss output in train mode
+    and zero in eval (reference aggregate_aux_losses)."""
+    import jax
+    import jax.numpy as jnp
+
+    from paddlescience_tpu.arch.extformer_moe import default_moe_config
+
+    m = psci.arch.ExtFormerMoECuboid(
+        ("input",), ("output",), input_shape=(4, 8, 8, 2), target_shape=(2, 8, 8, 1),
+        base_units=16, num_heads=4, enc_depth=(1,), dec_depth=(1,),
+        moe_config=default_moe_config(num_experts=4, out_planes=2,
+                                      importance_weight=0.2, load_weight=0.2))
+    x = {"input": jnp.asarray(np.random.rand(2, 4, 8, 8, 2), jnp.float32)}
+    out = m(x)
+    assert out["output"].shape == (2, 2, 8, 8, 1)
+    assert float(out["aux_loss"][0, 0]) == 0.0
+    m.set_train_rng(jax.random.PRNGKey(0))
+    out_t = m(x)
+    m.set_train_rng(None)
+    assert float(out_t["aux_loss"][0, 0]) > 0.0
