@@ -23,7 +23,7 @@ def build_solver(epochs=3, output_dir="./output_nowcastnet"):
     model = psci.arch.NowcastNet(
         ("input",), ("output",),
         input_length=IN_LEN, total_length=TOTAL,
-        image_height=H, image_width=W, base_channels=16)
+        image_height=H, image_width=W, ngf=16)
     dl = {
         "dataset": {"name": "RadarDataset", "input_keys": ("input",), "label_keys": ("output",),
                     "image_width": W, "image_height": H,
