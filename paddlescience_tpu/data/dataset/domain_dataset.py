@@ -15,9 +15,10 @@ Real formats parsed (reference file:line):
     (simplified from the CMIP xarray layout, ``enso_dataset.py:115-150``)
   * MRMS                     — ``*_{yyyymmdd}.h5`` files with key "dataset"
     of shape (N, H, W)            (``mrms_dataset.py:37,116-129``)
-  * SEVIR                    — event HDF5 with key = data type (e.g. "vil")
-    shaped (N, H, W, 49), scale/offset preprocess
-    (``sevir_dataset.py:29-59,173-810``)
+  * SEVIR                    — the real multi-event layout:
+    CATALOG.csv (id/img_type/file_name/file_index/pct_missing) + data/*.h5
+    rasters, colocated-type filtering, scale/offset preprocess; flat
+    .h5-per-type fallback   (``sevir_dataset.py:29-59,173-810``)
   * Radar                    — per-case dirs of frame .npy, ``x/10 - 3``
     rescale                       (``radar_dataset.py:94-116``)
   * FWI                      — anno file of "data.npy label.npy" pairs,
@@ -614,27 +615,95 @@ class SEVIRDataset(_FrameWindowDataset):
         dtype_name = data_types[0]
         seqs = []
         if path is not None:
-            import h5py
-
-            files = sorted(_glob.glob(osp.join(path, "**", "*.h5"), recursive=True))
-            if not files:
-                raise FileNotFoundError(f"no SEVIR .h5 event files under '{path}'")
-            for p in files:
-                with h5py.File(p, "r") as f:
-                    if dtype_name not in f:
-                        continue
-                    raw = np.asarray(f[dtype_name])  # (N, H, W, T)
-                    for ev in raw:
-                        seq = np.transpose(ev, (2, 0, 1)).astype(_F32)  # (T, H, W)
-                        if preprocess:
-                            seq = _SEVIR_SCALE[dtype_name] * (seq + _SEVIR_OFFSET[dtype_name])
-                        seqs.append(seq[:, :img_height, :img_width])
+            catalog = self._find_catalog(path)
+            if catalog is not None:
+                seqs = self._load_from_catalog(
+                    catalog, data_types, preprocess, img_height, img_width)
+            else:
+                seqs = self._load_flat_layout(
+                    path, dtype_name, preprocess, img_height, img_width)
         else:
             rng = np.random.default_rng(8)
             for _ in range(num_events):
                 seqs.append(_advecting_cells(rng, in_len + out_len, img_height, img_width))
         super().__init__(input_keys, label_keys, seqs, in_len, out_len, stride,
                          weight_dict, transforms)
+
+    @staticmethod
+    def _find_catalog(path):
+        """Locate the real SEVIR layout: <root>/CATALOG.csv + <root>/data/
+        (reference sevir_dataset.py:271-279 uses <data_dir>/sevir/)."""
+        for root in (path, osp.join(path, "sevir")):
+            cat = osp.join(root, "CATALOG.csv")
+            if osp.exists(cat):
+                return root
+        return None
+
+    @staticmethod
+    def _load_from_catalog(root, data_types, preprocess, img_height, img_width):
+        """Parse the real multi-event SEVIR catalog (reference
+        sevir_dataset.py:318-415): filter pct_missing == 0, keep events with
+        every requested img_type colocated, drop duplicated event ids, then
+        read each event's raster from data/<file_name> at <file_index>.
+        Multiple data_types stack on a leading channel... the frame-window
+        base consumes (T, H, W), so the first type is the sequence field."""
+        import h5py
+        import pandas as pd
+
+        catalog = pd.read_csv(osp.join(root, "CATALOG.csv"), low_memory=False)
+        # default catalog filter (reference :353-355)
+        if "pct_missing" in catalog.columns:
+            catalog = catalog[catalog.pct_missing == 0]
+        imgts = set(data_types)
+        filtcat = catalog[np.logical_or.reduce(
+            [catalog.img_type == i for i in data_types])]
+        filtcat = filtcat.groupby("id").filter(lambda x: imgts.issubset(set(x["img_type"])))
+        filtcat = filtcat.groupby("id").filter(lambda x: x.shape[0] == len(imgts))
+        if filtcat.empty:
+            raise FileNotFoundError(
+                f"SEVIR catalog at '{root}' has no events with colocated "
+                f"img_types {sorted(imgts)}")
+
+        dtype_name = data_types[0]
+        seqs = []
+        handles = {}
+        try:
+            for _, group in filtcat.groupby("id"):
+                row = group.set_index("img_type").loc[dtype_name]
+                fname = row.file_name
+                if fname not in handles:
+                    handles[fname] = h5py.File(osp.join(root, "data", fname), "r")
+                raw = np.asarray(handles[fname][dtype_name][int(row.file_index)])
+                seq = np.transpose(raw, (2, 0, 1)).astype(_F32)  # (H,W,T)->(T,H,W)
+                if preprocess:
+                    seq = _SEVIR_SCALE[dtype_name] * (seq + _SEVIR_OFFSET[dtype_name])
+                seqs.append(seq[:, :img_height, :img_width])
+        finally:
+            for f in handles.values():
+                f.close()
+        return seqs
+
+    @staticmethod
+    def _load_flat_layout(path, dtype_name, preprocess, img_height, img_width):
+        """Catalog-less fallback: .h5 files each holding a (N, H, W, T)
+        dataset named after the type."""
+        import h5py
+
+        seqs = []
+        files = sorted(_glob.glob(osp.join(path, "**", "*.h5"), recursive=True))
+        if not files:
+            raise FileNotFoundError(f"no SEVIR .h5 event files under '{path}'")
+        for p in files:
+            with h5py.File(p, "r") as f:
+                if dtype_name not in f:
+                    continue
+                raw = np.asarray(f[dtype_name])  # (N, H, W, T)
+                for ev in raw:
+                    seq = np.transpose(ev, (2, 0, 1)).astype(_F32)
+                    if preprocess:
+                        seq = _SEVIR_SCALE[dtype_name] * (seq + _SEVIR_OFFSET[dtype_name])
+                    seqs.append(seq[:, :img_height, :img_width])
+        return seqs
 
 
 class ERA5SampledDataset(_DictDataset):

@@ -89,3 +89,46 @@ def test_visualizers(tmp_path):
     vr.save(str(tmp_path / "r"), {"frames": np.random.rand(4, 8, 8)})
     files = sorted(p.name for p in tmp_path.iterdir())
     assert files == ["r_frames.png", "w_t0.png"]
+
+
+def test_sevir_real_catalog_layout(tmp_path):
+    """SEVIR real multi-event layout (reference sevir_dataset.py:173-415):
+    CATALOG.csv + data/*.h5 rasters indexed by file_index, pct_missing
+    filtering, colocated-type grouping. Hand-built fixture, no network."""
+    import h5py
+    import numpy as np
+
+    root = tmp_path / "sevir"
+    (root / "data").mkdir(parents=True)
+    H = W = 16
+    T = 25
+    rng = np.random.default_rng(0)
+    # two files, three events (one filtered out by pct_missing)
+    raw1 = (rng.random((2, H, W, T)) * 255).astype(np.uint8)
+    raw2 = (rng.random((1, H, W, T)) * 255).astype(np.uint8)
+    with h5py.File(root / "data" / "f1.h5", "w") as f:
+        f.create_dataset("vil", data=raw1)
+    with h5py.File(root / "data" / "f2.h5", "w") as f:
+        f.create_dataset("vil", data=raw2)
+    with open(root / "CATALOG.csv", "w") as f:
+        f.write("id,img_type,file_name,file_index,time_utc,pct_missing\n")
+        f.write("S1,vil,f1.h5,0,2019-01-01 00:00:00,0.0\n")
+        f.write("S2,vil,f1.h5,1,2019-01-02 00:00:00,0.5\n")  # filtered out
+        f.write("S3,vil,f2.h5,0,2019-01-03 00:00:00,0.0\n")
+
+    from paddlescience_tpu.data.dataset.domain_dataset import SEVIRDataset
+
+    ds = SEVIRDataset(("input",), ("target",), data_dir=str(root),
+                      in_len=13, out_len=12, img_height=H, img_width=W)
+    # 2 kept events, each yielding one (13 -> 12) window at T=25
+    x = ds.input["input"]
+    y = ds.label["target"]
+    assert x.shape == (2, 13, H, W, 1) and y.shape == (2, 12, H, W, 1)
+    # preprocess = scale * (raw + offset) with vil scale 1/47.54, offset -33.44
+    expect = (1 / 47.54) * (np.transpose(raw1[0], (2, 0, 1))[:13].astype(np.float32) - 33.44)
+    np.testing.assert_allclose(x[0, :, :, :, 0], expect, rtol=1e-5)
+    # missing colocated type raises, not synthesizes
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        SEVIRDataset(("input",), ("target",), data_dir=str(root), data_types=("ir069",),
+                     in_len=13, out_len=12, img_height=H, img_width=W)

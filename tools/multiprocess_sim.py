@@ -76,8 +76,17 @@ def worker(proc_id: int, port: int) -> None:
     )
     solver.train()
     metric, group = solver.eval()
+    # sharded predict: rank-strided shard + allgather + inverse permutation
+    # must reproduce the single-process full forward exactly (the per-rank
+    # shards evaluate disjoint rows of the same jitted fn; n=63 exercises
+    # the pad-and-trim path)
+    pred_in = {"x": xs[:63]}
+    pred = solver.predict(pred_in, batch_size=16, return_numpy=True)["u"]
+    with solver.model.bind(solver.state["params"], solver.state["rest"]):
+        full = np.asarray(solver.model({"x": np.asarray(pred_in["x"])})["u"])
+    predict_ok = pred.shape == (63, 1) and np.allclose(pred, full, atol=1e-6)
     # both processes must agree bit-for-bit (same global arrays + allgather)
-    print(f"MPSIM proc={proc_id} metric={metric:.6f} "
+    print(f"MPSIM proc={proc_id} metric={metric:.6f} predict_ok={predict_ok} "
           f"losses={[round(l, 6) for _, l in solver.loss_history]}", flush=True)
 
 
@@ -113,7 +122,11 @@ def launch() -> int:
     if len(metrics) != 1:
         print("processes disagree:", lines)
         return 1
-    print("multiprocess_sim OK: 2 processes x 4 devices, eval gather consistent")
+    if any("predict_ok=True" not in ln for ln in lines):
+        print("sharded predict mismatch:", lines)
+        return 1
+    print("multiprocess_sim OK: 2 processes x 4 devices, eval gather + "
+          "sharded predict consistent")
     return 0
 
 
