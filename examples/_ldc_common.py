@@ -1,0 +1,189 @@
+"""Shared machinery for the steady LDC variant examples (reference
+``/root/reference/examples/ldc/ldc_2d_Re3200_piratenet.py`` /
+``ldc_2d_Re3200_sota.py`` / ``ldc_2d_Re1000_plain.py``).
+
+The reference downloads ``./data/ldc_Re{Re}.mat`` ground-truth fields; with
+zero egress the equivalent fields are generated in-repo by
+``tools/gen_ldc_reference.py`` (vorticity-streamfunction solver with the
+same regularized lid as the PINN BC) into ``dataset/ldc_Re{Re}.npz``.
+
+Recipe parity with the reference scripts:
+  * curriculum over Re with per-stage epoch budgets, one optimizer /
+    lr-schedule / GradNorm state carried across stages (:44-55,188-211)
+  * PDE constraint on a fresh uniform collocation batch EVERY step
+    (ContinuousNamedArrayDataset -> device-side resampling here, :106-132)
+  * boundary batch on the 4 cavity walls with the regularized lid
+    u(x) = 1 - cosh(50(x-0.5))/cosh(25) (:57-77,135-160)
+  * GradNorm over the 5 expression keys [continuity, momentum_x,
+    momentum_y, u, v] (loss_granularity="key" — the reference aggregator
+    receives per-key losses, ppsci/solver/train.py:118-141)
+  * eval metric L2Rel over U = sqrt(u^2 + v^2) on the reference grid (:168-185)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import paddlescience_tpu as psci
+from paddlescience_tpu.constraint.base import Constraint
+from paddlescience_tpu.data import DeviceSampledDataset
+from paddlescience_tpu.loss import mtl
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_DATA = os.path.join(os.path.dirname(_HERE), "dataset")
+
+
+def lid_velocity(x: np.ndarray) -> np.ndarray:
+    """Regularized lid profile (reference ldc_2d_Re3200_piratenet.py:142)."""
+    return 1.0 - np.cosh(50.0 * (x - 0.5)) / np.cosh(25.0)
+
+
+def load_reference(Re) -> dict:
+    path = os.path.join(_DATA, f"ldc_Re{int(Re)}.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"LDC reference field '{path}' not found — generate it with "
+            f"`python tools/gen_ldc_reference.py --re {int(Re)}`")
+    d = np.load(path)
+    return {k: d[k] for k in ("u", "v", "x", "y")}
+
+
+def boundary_points(n_per_side: int):
+    """4 x n_per_side wall points, lid first (reference :57-77,140-145)."""
+    t = np.linspace(0, 1, n_per_side, dtype=np.float32)
+    te = np.linspace(0, 1 - 1e-6, n_per_side, dtype=np.float32)
+    top = np.stack([t, np.ones_like(t)], 1)
+    bottom = np.stack([t, np.zeros_like(t)], 1)
+    left = np.stack([np.zeros_like(te), te], 1)
+    right = np.stack([np.ones_like(te), te], 1)
+    pts = np.concatenate([top, bottom, left, right], 0)
+    u_bc = np.zeros((4 * n_per_side, 1), np.float32)
+    u_bc[:n_per_side, 0] = lid_velocity(t)
+    v_bc = np.zeros_like(u_bc)
+    return pts, u_bc, v_bc
+
+
+def build_stage_solver(cfg, model, optimizer, grad_norm, Re, epochs, output_dir):
+    import jax
+    import jax.numpy as jnp
+
+    equation = {"NavierStokes": psci.equation.NavierStokes(1.0 / Re, 1.0, 2, False)}
+    bs_pde = int(cfg.TRAIN.batch_size.pde)
+    bs_bc = int(cfg.TRAIN.batch_size.bc)
+
+    def sample_fn(key):
+        xy = jax.random.uniform(key, (bs_pde, 2))
+        zeros = jnp.zeros((bs_pde, 1))
+        return ({"x": xy[:, 0:1], "y": xy[:, 1:2]},
+                {"continuity": zeros, "momentum_x": zeros, "momentum_y": zeros}, {})
+
+    pde = Constraint(DeviceSampledDataset(sample_fn), None, psci.loss.MSELoss("mean"), "PDE")
+    pde.output_expr = equation["NavierStokes"].equations
+    pde.output_keys = ("continuity", "momentum_x", "momentum_y")
+
+    pts, u_bc, v_bc = boundary_points(bs_bc)
+    bc = psci.constraint.SupervisedConstraint(
+        {"dataset": {"name": "IterableNamedArrayDataset",
+                     "input": {"x": pts[:, 0:1], "y": pts[:, 1:2]},
+                     "label": {"u": u_bc, "v": v_bc}}},
+        psci.loss.MSELoss("mean"),
+        {"u": lambda out: out["u"], "v": lambda out: out["v"]},
+        name="BC")
+
+    ref = load_reference(Re)
+    xs, ys = ref["x"], ref["y"]
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    U_ref = np.sqrt(ref["u"] ** 2 + ref["v"] ** 2).reshape(-1, 1).astype(np.float32)
+    validator = {
+        "U_validator": psci.validate.SupervisedValidator(
+            {"dataset": {"name": "NamedArrayDataset",
+                         "input": {"x": X.reshape(-1, 1).astype(np.float32),
+                                   "y": Y.reshape(-1, 1).astype(np.float32)},
+                         "label": {"U": U_ref}},
+             "batch_size": int(cfg.EVAL.batch_size)},
+            psci.loss.MSELoss("mean"),
+            {"U": lambda out: (out["u"] ** 2 + out["v"] ** 2) ** 0.5},
+            metric={"L2Rel": psci.metric.L2Rel()},
+            name="U_validator")
+    }
+
+    return psci.solver.Solver(
+        model, {"PDE": pde, "BC": bc}, output_dir, optimizer,
+        epochs=epochs, iters_per_epoch=int(cfg.TRAIN.iters_per_epoch),
+        equation=equation, validator=validator,
+        eval_during_train=bool(cfg.TRAIN.eval_during_train),
+        eval_freq=int(cfg.TRAIN.eval_freq),
+        loss_aggregator=grad_norm, loss_granularity="key",
+        log_freq=int(cfg.log_freq), seed=int(cfg.seed),
+    )
+
+
+def make_model(cfg):
+    arch = cfg.MODEL.get("arch", "piratenet")
+    common = dict(
+        input_keys=tuple(cfg.MODEL.input_keys),
+        output_keys=tuple(cfg.MODEL.output_keys),
+        hidden_size=int(cfg.MODEL.hidden_size),
+        activation=cfg.MODEL.activation,
+    )
+    fourier = cfg.MODEL.get("fourier")
+    if fourier:
+        common["fourier"] = {"dim": int(fourier["dim"]), "scale": float(fourier["scale"])}
+    rw = cfg.MODEL.get("random_weight")
+    if rw:
+        common["random_weight"] = {"mean": float(rw["mean"]), "std": float(rw["std"])}
+    if arch == "piratenet":
+        return psci.arch.PirateNet(num_blocks=int(cfg.MODEL.num_blocks), **common)
+    if arch == "modified_mlp":
+        return psci.arch.ModifiedMLP(num_layers=int(cfg.MODEL.num_layers), **common)
+    return psci.arch.MLP(num_layers=int(cfg.MODEL.num_layers), **common)
+
+
+def train_curriculum(cfg):
+    """Reference train_curriculum loop (:79-211): one optimizer + GradNorm
+    state carried across Re stages by threading the solver state."""
+    psci.utils.set_random_seed(int(cfg.seed))
+    model = make_model(cfg)
+    total_epochs = sum(int(e) for e in cfg.epochs)
+    lr = psci.optimizer.lr_scheduler.ExponentialDecay(
+        epochs=total_epochs,
+        iters_per_epoch=int(cfg.TRAIN.iters_per_epoch),
+        learning_rate=float(cfg.TRAIN.lr_scheduler.learning_rate),
+        gamma=float(cfg.TRAIN.lr_scheduler.gamma),
+        decay_steps=int(cfg.TRAIN.lr_scheduler.decay_steps),
+        warmup_epoch=int(cfg.TRAIN.lr_scheduler.get("warmup_epoch", 0)),
+    )()
+    optimizer = psci.optimizer.Adam(lr)(model)
+    gn_cfg = cfg.TRAIN.grad_norm
+    grad_norm = mtl.GradNorm(model, 5, int(gn_cfg.update_freq), float(gn_cfg.momentum),
+                             init_weights=list(gn_cfg.init_weights))
+
+    carry = None
+    metric = float("nan")
+    for idx, (Re, epochs) in enumerate(zip(cfg.Re, cfg.epochs)):
+        out_dir = os.path.join(cfg.output_dir or "./output_ldc", f"Re_{int(Re)}")
+        print(f"Training curriculum {idx + 1}/{len(cfg.Re)} Re={Re} epochs={epochs}")
+        solver = build_stage_solver(cfg, model, optimizer, grad_norm, float(Re), int(epochs), out_dir)
+        if carry is not None:
+            solver.state = carry  # params/opt/agg/step continue across stages
+        solver.train()
+        metric, _ = solver.eval()
+        print(f"Re={Re}: L2Rel.U = {metric:.5f}")
+        carry = solver.state
+    return metric
+
+
+def evaluate(cfg):
+    psci.utils.set_random_seed(int(cfg.seed))
+    model = make_model(cfg)
+    Re = float(cfg.Re[-1])
+    solver = build_stage_solver(cfg, model, psci.optimizer.Adam(1e-3)(model), None,
+                                Re, 1, cfg.output_dir or "./output_ldc")
+    path = cfg.get_path("EVAL.pretrained_model_path") if hasattr(cfg, "get_path") else cfg.EVAL.pretrained_model_path
+    if path:
+        solver.load_pretrain(path)
+    metric, _ = solver.eval()
+    print(f"eval L2Rel.U = {metric:.5f}")
+    return metric

@@ -84,6 +84,7 @@ class Solver:
         to_static: bool = False,
         loss_aggregator: Optional[mtl.LossAggregator] = None,
         ema_avg: Optional[Any] = None,
+        loss_granularity: str = "constraint",
         microbatch: Optional[Dict[str, int]] = None,
         mesh=None,
         param_shard_rule=None,
@@ -128,6 +129,14 @@ class Solver:
         self.compute_metric_by_batch = compute_metric_by_batch
         self.loss_aggregator = loss_aggregator or mtl.Sum()
         self.ema_avg = ema_avg
+        # "constraint": one aggregated term per constraint; "key": one term
+        # per output-expression key — the reference's granularity (its
+        # aggregator receives losses_all keyed by expression name,
+        # solver/train.py:118-141; e.g. the LDC PirateNet recipe balances
+        # [continuity, momentum_x, momentum_y, u, v] with 5 GradNorm weights)
+        if loss_granularity not in ("constraint", "key"):
+            raise ValueError(f"loss_granularity must be 'constraint' or 'key', got {loss_granularity}")
+        self.loss_granularity = loss_granularity
         # per-constraint chunk sizes for in-step loss microbatching
         self.microbatch = dict(microbatch or {})
         self.cur_metric: Dict[str, float] = {}
@@ -283,18 +292,25 @@ class Solver:
             jax.default_matmul_precision("default") if self.use_amp else contextlib.nullcontext()
         )
         losses: Dict[str, jnp.ndarray] = {}
+
+        def emit(name, loss_dict):
+            if self.loss_granularity == "key":
+                for k, v in loss_dict.items():
+                    losses[f"{name}.{k}"] = v
+            else:
+                losses[name] = sum(loss_dict.values())
+
         with amp_ctx, self.model.bind(params, rest):
             for name, cst in self.constraint.items():
                 inp, lab, wgt = batches[name]
                 m = (self.microbatch or {}).get(name)
                 if m:
-                    losses[name] = self._microbatched_loss(cst, eq_params, inp, lab, wgt, m)
+                    emit(name, self._microbatched_loss(cst, eq_params, inp, lab, wgt, m))
                     continue
                 outputs = expression.evaluate_expressions(
                     self.models, inp, cst.output_expr, extra_values=eq_params
                 )
-                loss_dict = cst.loss(outputs, lab, wgt if wgt else None)
-                losses[name] = sum(loss_dict.values())
+                emit(name, cst.loss(outputs, lab, wgt if wgt else None))
         return losses
 
     def _microbatched_loss(self, cst, eq_params, inp, lab, wgt, m: int):
@@ -327,24 +343,40 @@ class Solver:
         # the profile (334 ms vs 46 ms measured for 10 chunks of the 282k-pt
         # NS batch on one v5e); unrolling keeps data dependencies explicit and
         # lets the scheduler pipeline recompute against the MXU.
+        keys = tuple(lab.keys())
+
         @jax.checkpoint
         def chunk_loss(ci, cl, cw):
             outputs = expression.evaluate_expressions(
                 self.models, ci, cst.output_expr, extra_values=eq_params
             )
             loss_dict = cst.loss(outputs, cl, cw if cw else None)
-            return sum(loss_dict.values())
+            return jnp.stack([loss_dict[k] for k in keys])
 
-        tot = 0.0
+        tot = jnp.zeros((len(keys),))
         for i in range(nchunks):
             tot = tot + chunk_loss(chunk_of(inp, i), chunk_of(lab, i), chunk_of(wgt or {}, i))
-        return tot / nchunks
+        tot = tot / nchunks
+        return {k: tot[j] for j, k in enumerate(keys)}
+
+    def _loss_names(self) -> List[str]:
+        """Ordered loss-term names the aggregator sees: per constraint, or
+        per expression key under loss_granularity='key'."""
+        if self.loss_granularity == "constraint":
+            return list(self.constraint.keys())
+        names = []
+        for name, cst in self.constraint.items():
+            keys = tuple(getattr(cst, "output_keys", ()) or ())
+            if not keys:
+                keys = tuple((cst.output_expr or {}).keys())
+            names.extend(f"{name}.{k}" for k in keys)
+        return names
 
     # ------------------------------------------------------------- train step --
     def _build_train_step(self):
         tx = self._tx()
         agg = self.loss_aggregator
-        names = list(self.constraint.keys())
+        names = self._loss_names()
         device_csts = {
             name: cst for name, cst in self.constraint.items() if cst.data_iter is None
         }
@@ -463,7 +495,7 @@ class Solver:
         import optax
 
         tx = self.optimizer.tx
-        names = list(self.constraint.keys())
+        names = self._loss_names()
 
         def step_fn(state, host_batches):
             rest = state["rest"]
