@@ -233,7 +233,7 @@ def main():
                     help="steps fused per jitted lax.scan call")
     ap.add_argument("--cases", type=str, default="allen_cahn,piratenet,cylinder")
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("PSCI_BENCH_BUDGET", 1100)),
+                    default=float(os.environ.get("PSCI_BENCH_BUDGET", 1800)),
                     help="wall-clock budget (s): later cases are skipped once "
                          "exceeded — compiles over a tunneled chip can "
                          "dominate, and an incomplete headline JSON is worse "
@@ -258,7 +258,10 @@ def main():
     # cylinder before piratenet: it carries the measured vs-published ratio
     extra = {}
     cyl = None
-    if "cylinder" in cases and not args.smoke and in_budget(1300):
+    # estimate: ~6 min compile+run at the reference's true per-step batch
+    # (the round-2 60x-batch compile took ~20 min and with the old 1100 s
+    # default budget the case could never start — the stale-skip trap)
+    if "cylinder" in cases and not args.smoke and in_budget(500):
         cyl_steps = max(steps // 20, 10)
         cyl = bench_cylinder(cyl_steps, max(min(fused, cyl_steps), 1))
         extra["cylinder2d_matched"] = cyl

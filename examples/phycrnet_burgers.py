@@ -46,19 +46,16 @@ def main(steps=60):
     opt = tx.init(params)
     dx = 1.0 / H
 
+    from paddlescience_tpu.arch.phycrnet import loss_generator
+
+    lg = loss_generator(dt=DT, dx=dx)
+
     def fd_residual(u_seq):
-        """Burgers residual via periodic central differences on the rollout."""
-        res = 0.0
-        for t in range(len(u_seq) - 1):
-            u = u_seq[t]
-            u_t = (u_seq[t + 1] - u_seq[t]) / DT
-            ux = (jnp.roll(u, -1, -1) - jnp.roll(u, 1, -1)) / (2 * dx)
-            uy = (jnp.roll(u, -1, -2) - jnp.roll(u, 1, -2)) / (2 * dx)
-            lap = (jnp.roll(u, -1, -1) + jnp.roll(u, 1, -1) + jnp.roll(u, -1, -2)
-                   + jnp.roll(u, 1, -2) - 4 * u) / dx**2
-            adv = u[:, :1] * ux + u[:, 1:] * uy
-            res = res + jnp.mean((u_t + adv - NU * lap) ** 2)
-        return res / (len(u_seq) - 1)
+        """Burgers residual via the reference's 4th-order FD kernels
+        (phycrnet.py loss_generator; R = 1/NU)."""
+        roll = jnp.stack([u[0] for u in u_seq], 0)  # (T, 2, H, W)
+        f_u, f_v = lg.get_phy_loss(roll, R=1.0 / NU)
+        return jnp.mean(f_u**2) + jnp.mean(f_v**2)
 
     @jax.jit
     def step(params, opt):

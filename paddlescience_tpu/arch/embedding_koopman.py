@@ -111,10 +111,25 @@ class RosslerEmbedding(LorenzEmbedding):
     """Same architecture for the Rossler system (reference :215)."""
 
 
+class _KoopmanBandNet(Module):
+    """1 -> 50 -> n MLP producing Koopman bands from viscosity (reference
+    embedding_koopman.py:441-453)."""
+
+    def __init__(self, out_features: int, *, rngs: Rngs):
+        self.fc1 = Linear(1, 50, kernel_init=initializer.linear_init_, rngs=rngs)
+        self.fc2 = Linear(50, out_features, kernel_init=initializer.linear_init_, rngs=rngs)
+
+    def __call__(self, x):
+        return self.fc2(jax.nn.relu(self.fc1(x)))
+
+
 class CylinderEmbedding(base.Arch):
-    """Koopman embedding for cylinder wake states (B, T, 3, H, W) with
-    viscosity conditioning (reference embedding_koopman.py:274). Conv
-    encoder/decoder over channel-last internally, channel-first I/O."""
+    """Koopman embedding for cylinder wake states at reference structure
+    (reference embedding_koopman.py:274-545): replicate-padded conv
+    encoder/decoder on a 64x128 grid, cylinder mask zeroing, and a
+    **viscosity-conditioned** banded Koopman operator — diag and the 4
+    upper/lower bands come from MLPs of 100*visc, giving a per-sample
+    (E, E) matrix applied by batched matmul."""
 
     def __init__(
         self,
@@ -124,6 +139,8 @@ class CylinderEmbedding(base.Arch):
         std: Optional[Tuple[float, ...]] = None,
         embed_size: int = 128,
         encoder_channels: Optional[Tuple[int, ...]] = None,
+        decoder_channels: Optional[Tuple[int, ...]] = None,
+        drop: float = 0.0,
         *,
         rngs: Optional[Rngs] = None,
     ):
@@ -135,72 +152,96 @@ class CylinderEmbedding(base.Arch):
         self.input_keys = tuple(input_keys)
         self.output_keys = tuple(output_keys)
         self.embed_size = embed_size
-        channels = encoder_channels or (16, 32, 64, 128)
+        enc_ch = list(encoder_channels or (4, 16, 32, 64, 128))
+        dec_ch = list(decoder_channels or (embed_size // 32, 128, 64, 32, 16))
 
-        convs = []
-        c_in = 4  # (u, v, p) + viscosity channel
-        for c in channels:
-            convs.append(Conv(c_in, c, (3, 3), strides=2, padding="SAME", rngs=rngs))
-            c_in = c
-        self.enc_convs = convs
-        # assume 64x128 input -> downsample 2^4 -> 4x8 spatial
-        self.enc_fc = Linear(c_in * 4 * 8, embed_size, rngs=rngs)
+        # cylinder mask on the (-2,14)x(-4,4) grid (reference :318-319)
+        X, Y = np.meshgrid(np.linspace(-2, 14, 128), np.linspace(-4, 4, 64))
+        self.mask = Buffer(jnp.asarray((np.sqrt(X**2 + Y**2) >= 1).astype(np.float32)))
+
+        rp = dict(padding=1, padding_mode="replicate", rngs=rngs)
+        self.enc_convs = [
+            Conv(enc_ch[i - 1], enc_ch[i], (3, 3), strides=2, **rp)
+            for i in range(1, len(enc_ch))
+        ]
+        # final conv to embed//32 channels at (4, 8) then LayerNorm over the
+        # flattened (C, 4, 8) volume (reference :389-402)
+        self.enc_out = Conv(enc_ch[-1], embed_size // 32, (3, 3), **rp)
         self.enc_norm = LayerNorm(embed_size)
+        self.drop = drop
 
-        self.dec_fc = Linear(embed_size, c_in * 4 * 8, rngs=rngs)
-        dec_convs = []
-        rev = list(channels[::-1][1:]) + [3]
-        for c in rev:
-            dec_convs.append(Conv(c_in, c, (3, 3), padding="SAME", rngs=rngs))
-            c_in = c
-        self.dec_convs = dec_convs
+        self.dec_convs = [
+            Conv(dec_ch[i - 1], dec_ch[i], (3, 3), **rp)
+            for i in range(1, len(dec_ch))
+        ]
+        self.dec_out = Conv(dec_ch[-1], 3, (3, 3), **rp)
 
-        self.k_diag = Param(jnp.linspace(1, 0, embed_size))
-        self.k_ut = Param(0.1 * jax.random.uniform(rngs.params(), (2 * embed_size - 3,)))
+        # viscosity-conditioned Koopman bands: diag + 4 upper + 4 lower
+        # (4E - 10 entries each side; reference :441-453,483-504)
+        self.k_diag_net = _KoopmanBandNet(embed_size, rngs=rngs)
+        self.k_ut_net = _KoopmanBandNet(4 * embed_size - 10, rngs=rngs)
+        self.k_lt_net = _KoopmanBandNet(4 * embed_size - 10, rngs=rngs)
+        xidx, yidx = [], []
+        for i in range(1, 5):
+            yidx.append(np.arange(i, embed_size))
+            xidx.append(np.arange(0, embed_size - i))
+        self._xidx = np.concatenate(xidx)
+        self._yidx = np.concatenate(yidx)
 
         mean = [0.0, 0.0, 0.0, 0.0] if mean is None else list(mean)
         std = [1.0, 1.0, 1.0, 1.0] if std is None else list(std)
-        self.mean = Buffer(jnp.asarray(mean, jnp.float32).reshape(1, 1, 4, 1, 1))
-        self.std = Buffer(jnp.asarray(std, jnp.float32).reshape(1, 1, 4, 1, 1))
+        self.mean = Buffer(jnp.asarray(mean, jnp.float32).reshape(1, 4, 1, 1))
+        self.std = Buffer(jnp.asarray(std, jnp.float32).reshape(1, 4, 1, 1))
 
-    def get_koopman_matrix(self):
-        e = self.embed_size
-        ut = jnp.diag(self.k_ut[: e - 1], k=1) + jnp.diag(self.k_ut[e - 1 :], k=2)
-        return ut - ut.T + jnp.diag(self.k_diag)
+    def get_koopman_matrix(self, g, visc):
+        """Per-sample banded operator from viscosity (reference :483-504)."""
+        B = visc.shape[0]
+        E = self.embed_size
+        diag = self.k_diag_net(100.0 * visc)  # (B, E)
+        ut = self.k_ut_net(100.0 * visc)  # (B, 4E-10)
+        lt = self.k_lt_net(100.0 * visc)
+        k = jnp.zeros((B, E, E))
+        k = k.at[:, self._xidx, self._yidx].set(ut)
+        k = k.at[:, self._yidx, self._xidx].set(lt)
+        k = k.at[:, jnp.arange(E), jnp.arange(E)].set(diag)
+        return k
 
     def encoder(self, x, visc):
-        B, T = x.shape[0], x.shape[1]
-        visc_map = jnp.broadcast_to(visc[:, None, None, None, None], (B, T, 1, x.shape[3], x.shape[4]))
-        x = jnp.concatenate([x, visc_map], axis=2)
+        B, T, C, H, W = x.shape
+        x = x.reshape(B * T, C, H, W)
+        vmap_ = jnp.repeat(visc.reshape(B, 1), T, axis=1).reshape(B * T, 1, 1, 1)
+        x = jnp.concatenate([x, vmap_ * jnp.ones_like(x[:, :1])], axis=1)
         x = (x - self.mean) / self.std
-        h = x.reshape(B * T, *x.shape[2:]).transpose(0, 2, 3, 1)  # channel-last
+        h = x.transpose(0, 2, 3, 1)  # channel-last
         for conv in self.enc_convs:
             h = jax.nn.relu(conv(h))
-        g = self.enc_fc(h.reshape(B * T, -1))
-        return self.enc_norm(g).reshape(B, T, -1)
+        h = self.enc_out(h)  # (B*T, 4, 8, E//32)
+        g = self.enc_norm(h.transpose(0, 3, 1, 2).reshape(B * T, -1))
+        return g.reshape(B, T, -1)
 
     def decoder(self, g):
-        B, T = g.shape[0], g.shape[1]
-        h = self.dec_fc(g.reshape(B * T, -1)).reshape(B * T, 4, 8, -1)
-        for i, conv in enumerate(self.dec_convs):
-            h = jax.image.resize(h, (h.shape[0], h.shape[1] * 2, h.shape[2] * 2, h.shape[3]), "nearest")
-            h = conv(h)
-            if i < len(self.dec_convs) - 1:
-                h = jax.nn.relu(h)
-        out = h.transpose(0, 3, 1, 2).reshape(B, T, 3, h.shape[1], h.shape[2])
-        return self.std[:, :, :3] * out + self.mean[:, :, :3]
+        B, T, _ = g.shape
+        h = g.reshape(B * T, self.embed_size // 32, 4, 8).transpose(0, 2, 3, 1)
+        for conv in self.dec_convs:
+            h = jax.image.resize(h, (h.shape[0], h.shape[1] * 2, h.shape[2] * 2, h.shape[3]), "linear")
+            h = jax.nn.relu(conv(h))
+        h = self.dec_out(h).transpose(0, 3, 1, 2)  # (B*T, 3, 64, 128)
+        h = self.std[:, :3] * h + self.mean[:, :3]
+        h = h * self.mask[None, None]  # zero inside the cylinder (reference :472-478)
+        return h.reshape(B, T, 3, h.shape[-2], h.shape[-1])
 
     def koopman_operation(self, embed_data, k_matrix):
-        return jnp.einsum("bte,fe->btf", embed_data, k_matrix)
+        # (B, E, E) @ (B, T, E) per sample (reference bmm :506-510)
+        return jnp.einsum("bef,btf->bte", k_matrix, embed_data)
 
     def __call__(self, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         if self._input_transform is not None:
             x = self._input_transform(x)
         states = x[self.input_keys[0]]
         visc = x[self.input_keys[1]]
-        k_matrix = self.get_koopman_matrix()
         embed = self.encoder(states, visc)
         recover = self.decoder(embed)
+        k_matrix = self.get_koopman_matrix(embed, visc)
         pred = self.decoder(self.koopman_operation(embed, k_matrix))
         y = LorenzEmbedding.split_to_dict((pred[:, :-1], recover, k_matrix), self.output_keys)
         if self._output_transform is not None:

@@ -79,6 +79,7 @@ class Conv(Module):
         groups: int = 1,
         bias: bool = True,
         kernel_init=None,
+        padding_mode: str = "zeros",
         *,
         rngs: Rngs,
     ):
@@ -90,6 +91,14 @@ class Conv(Module):
         if isinstance(padding, int):
             padding = [(padding, padding)] * self.ndim
         self.padding = padding
+        # "circular"/"replicate": periodic-wrap / edge padding (paddle
+        # padding_mode); applied with jnp.pad before a VALID conv
+        self.padding_mode = padding_mode
+        if padding_mode in ("circular", "replicate"):
+            if padding == "SAME":
+                self.padding = [((k - 1) // 2, k // 2) for k in kernel_size]
+            elif not isinstance(self.padding, (list, tuple)):
+                raise ValueError(f"{padding_mode} padding needs an explicit padding amount")
         self.groups = groups
         if kernel_init is None:
             kernel_init = initializer.conv_init_
@@ -116,11 +125,16 @@ class Conv(Module):
         squeeze = x.ndim == self.ndim + 1
         if squeeze:
             x = x[None]
+        padding = self.padding
+        if self.padding_mode in ("circular", "replicate"):
+            pads = [(0, 0)] + [tuple(p) for p in self.padding] + [(0, 0)]
+            x = jnp.pad(x, pads, mode="wrap" if self.padding_mode == "circular" else "edge")
+            padding = "VALID"
         y = jax.lax.conv_general_dilated(
             x,
             self._kernel(),
             window_strides=self.strides,
-            padding=self.padding,
+            padding=padding,
             rhs_dilation=self.dilation,
             dimension_numbers=self._dn,
             feature_group_count=self.groups,

@@ -401,3 +401,28 @@ def test_extformer_moe_cuboid_aux_loss_output():
     out_t = m(x)
     m.set_train_rng(None)
     assert float(out_t["aux_loss"][0, 0]) > 0.0
+
+
+def test_cylinder_embedding_visc_conditioned_koopman():
+    """CylinderEmbedding at reference structure (embedding_koopman.py:274-545):
+    doctest shapes, banded (±4) viscosity-conditioned operator, cylinder mask
+    zeroing, distinct operators for distinct viscosities."""
+    import jax.numpy as jnp
+
+    m = psci.arch.CylinderEmbedding(("states", "visc"),
+                                    ("pred_states", "recover_states", "k_matrix"))
+    x = {"states": jnp.asarray(np.random.rand(2, 4, 3, 64, 128), jnp.float32),
+         "visc": jnp.asarray([[0.001], [0.01]], jnp.float32)}
+    out = m(x)
+    assert out["pred_states"].shape == (2, 3, 3, 64, 128)
+    assert out["recover_states"].shape == (2, 4, 3, 64, 128)
+    K = np.asarray(out["k_matrix"])
+    assert K.shape == (2, 128, 128)
+    iu = np.triu_indices(128, k=5)
+    assert np.abs(K[0][iu]).max() == 0.0  # banded beyond ±4
+    assert not np.allclose(K[0], K[1])  # viscosity-conditioned
+    # cylinder interior (r < 1 around origin of the (-2,14)x(-4,4) grid) is 0
+    X, Y = np.meshgrid(np.linspace(-2, 14, 128), np.linspace(-4, 4, 64))
+    inside = np.sqrt(X**2 + Y**2) < 1
+    rec = np.asarray(out["recover_states"])[0, 0, 0]
+    assert np.abs(rec[inside]).max() == 0.0
