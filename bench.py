@@ -41,8 +41,9 @@ import time
 
 os.environ.setdefault("PSCI_MATMUL_PRECISION", "default")
 
-# published measured baseline (reference test_tipc/README.MD:13-17)
+# published measured baselines (reference test_tipc/README.MD:13-17)
 CYLINDER_REF_IPS = 1264165.641
+EULER_BEAM_REF_IPS = 3667.549
 
 # peak dense bf16 FLOP/s per chip by device kind (public TPU specs)
 PEAK_FLOPS = {
@@ -224,6 +225,41 @@ def bench_cylinder(steps, fused):
     }
 
 
+def bench_euler_beam(steps, fused):
+    """The reference TIPC euler_beam workload: MLP 3x20, 100 interior + 4
+    boundary points per optimizer step (conf euler_beam.yaml:42-56,
+    iters_per_epoch=1) — published 3,667.549 ips FP32 1xGPU
+    (test_tipc/README.MD:13-17). Tiny batches are dispatch-bound on the
+    reference's per-iter Python loop; the fused lax.scan amortizes that."""
+    import jax
+
+    from examples.euler_beam import build_solver
+    from paddlescience_tpu.parallel import mesh as mesh_mod
+
+    solver = build_solver(epochs=1, iters_per_epoch=1)
+    host_batches = {}
+    total_points = 0
+    for name, cst in solver.constraint.items():
+        if cst.data_iter is not None:
+            inp, lab, wgt = next(cst.data_iter)
+            total_points += next(iter(inp.values())).shape[0]
+            host_batches[name] = (
+                mesh_mod.shard_batch(inp, solver.mesh),
+                mesh_mod.shard_batch(lab, solver.mesh),
+                mesh_mod.shard_batch(wgt, solver.mesh),
+            )
+    scan_fn = solver._build_scanned_train_step_static(fused, host_batches)
+    n_calls = max(steps // fused, 1)
+    steps_per_sec, flops_per_step = _time_scan(scan_fn, solver.state, n_calls, fused)
+    ips = steps_per_sec * total_points
+    return {
+        "ips": round(ips, 1),
+        "steps_per_sec": round(steps_per_sec, 3),
+        "points_per_step": total_points,
+        "vs_published_ref_ips": round(ips / EULER_BEAM_REF_IPS, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny CPU-friendly run")
@@ -231,7 +267,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=4096)
     ap.add_argument("--fused", type=int, default=400,
                     help="steps fused per jitted lax.scan call")
-    ap.add_argument("--cases", type=str, default="allen_cahn,piratenet,cylinder")
+    ap.add_argument("--cases", type=str, default="allen_cahn,piratenet,cylinder,euler_beam")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("PSCI_BENCH_BUDGET", 1800)),
                     help="wall-clock budget (s): later cases are skipped once "
@@ -265,6 +301,9 @@ def main():
         cyl_steps = max(steps // 20, 10)
         cyl = bench_cylinder(cyl_steps, max(min(fused, cyl_steps), 1))
         extra["cylinder2d_matched"] = cyl
+    if "euler_beam" in cases and not args.smoke and in_budget(300):
+        extra["euler_beam_matched"] = bench_euler_beam(
+            max(steps, 2000), max(fused, 1000))
     if "piratenet" in cases and not args.smoke and in_budget(600):
         extra["piratenet_9x256"] = bench_allen_cahn(
             max(steps // 4, 40), batch, max(min(fused, steps // 4), 1),

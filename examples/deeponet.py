@@ -35,16 +35,17 @@ def make_data(n_samples: int, m: int = 100, seed: int = 0):
     return {"u": u, "y": y}, {"G": G}
 
 
-def build_solver(epochs=100, iters_per_epoch=32, output_dir="./output_deeponet"):
+def build_solver(epochs=100, iters_per_epoch=32, output_dir="./output_deeponet",
+                 n_train=10000, batch_size=312, n_eval=2000):
     psci.utils.set_random_seed(42)
     # reference conf: m=100 sensors, 40 features, 1 hidden layer of 40 each
     model = psci.arch.DeepONet("u", "y", "G", 100, 40, 1, 1, 40, 40, branch_activation="relu", trunk_activation="relu")
 
-    train_in, train_lab = make_data(10000, seed=0)
+    train_in, train_lab = make_data(n_train, seed=0)
     sup = psci.constraint.SupervisedConstraint(
         {
             "dataset": {"name": "NamedArrayDataset", "input": train_in, "label": train_lab},
-            "batch_size": 312,
+            "batch_size": min(batch_size, n_train),
             "sampler": {"shuffle": True},
         },
         psci.loss.MSELoss(),
@@ -52,7 +53,7 @@ def build_solver(epochs=100, iters_per_epoch=32, output_dir="./output_deeponet")
         name="Sup",
     )
 
-    eval_in, eval_lab = make_data(2000, seed=7)
+    eval_in, eval_lab = make_data(n_eval, seed=7)
     validator = {
         "G_validator": psci.validate.SupervisedValidator(
             {

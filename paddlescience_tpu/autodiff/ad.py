@@ -448,6 +448,22 @@ def _require_tape() -> Tape:
     return tape
 
 
+def _record_pf(stack: _DerivStack, out_col: int, dmulti: Tuple[int, ...]):
+    """Pointwise function of a registered derivative component — only traced
+    when a *composed* expression built from it is differentiated further
+    (the component's value itself comes from the cached stack)."""
+    d = stack.x.shape[-1]
+
+    def pf(xvec, extras, _fn=stack.fn, _dm=tuple(dmulti), _c=out_col, _d=d):
+        g = lambda v: _fn(v, extras)
+        for jj in _dm:
+            tangent = jnp.zeros((_d,)).at[jj].set(1.0)
+            g = (lambda g_, t_: lambda v: jax.jvp(g_, (v,), (t_,))[1])(g, tangent)
+        return g(xvec)[_c : _c + 1]
+
+    return pf
+
+
 def _resolve_input_col(tape: Tape, rec: _Record, xs: jnp.ndarray, j: Optional[int]) -> int:
     """Map an `xs` array (a registered coordinate column) + optional column
     index j to the stack's input-axis index."""
@@ -481,8 +497,24 @@ def jacobian(
     tape = _require_tape()
     if isinstance(xs, (list, tuple)):
         return [jacobian(ys, x, i, j) for x in xs]
+    wrap_result = False
     if isinstance(ys, TapeArray):
-        return _tracked_jacobian(tape, ys, xs, i, j)
+        # a wrapped registered array (raw model output / derivative) routes
+        # through the record path: get_component caches per (stack, dmulti),
+        # so the same sub-derivative requested by several expressions (u__x
+        # in both continuity and momentum_x) is computed ONCE — the jvp
+        # chains of the per-expression tracked path are only CSE-dedupable
+        # forward, and their backward graphs duplicated work (measured 83x
+        # vs 38x fwd-equivalents on the NS residual valgrad). The result is
+        # re-wrapped so composed expressions stay differentiable.
+        rec0 = tape.lookup(ys.value)
+        if rec0 is not None and isinstance(rec0.stack, _DerivStack):
+            ys = ys.value
+            wrap_result = True
+        else:
+            return _tracked_jacobian(tape, ys, xs, i, j)
+    if isinstance(xs, TapeArray):
+        xs = xs.value
     rec = tape.lookup(ys)
     if rec is None:
         raise ValueError(
@@ -491,7 +523,10 @@ def jacobian(
         )
     col = _resolve_input_col(tape, rec, xs, j)
     rec = _Record(rec.stack, rec.out_col + i, rec.dmulti)
-    return tape.derivative(rec, col)
+    out = tape.derivative(rec, col)
+    if wrap_result:
+        return TapeArray(out, _record_pf(rec.stack, rec.out_col, rec.dmulti + (col,)), rec.stack)
+    return out
 
 
 def _tracked_jacobian(tape: Tape, ys: TapeArray, xs, i: int, j: Optional[int]) -> TapeArray:
@@ -539,9 +574,17 @@ def hessian(
     the order-2 stack.
     """
     tape = _require_tape()
+    wrap_result = False
     if isinstance(ys, TapeArray):
-        first = _tracked_jacobian(tape, ys, xs, component or 0, i if xs is None else None)
-        return _tracked_jacobian(tape, first, xs, 0, j if xs is None else None)
+        rec0 = tape.lookup(ys.value)
+        if rec0 is not None and isinstance(rec0.stack, _DerivStack):
+            ys = ys.value  # registered: cached record path
+            wrap_result = True
+        else:
+            first = _tracked_jacobian(tape, ys, xs, component or 0, i if xs is None else None)
+            return _tracked_jacobian(tape, first, xs, 0, j if xs is None else None)
+    if isinstance(xs, TapeArray):
+        xs = xs.value
     rec = tape.lookup(ys)
     if rec is None:
         raise ValueError("ys is not on the autodiff tape")
@@ -563,6 +606,8 @@ def hessian(
     comp = rec.stack.get_component(dmulti)
     out = comp[..., out_col][..., None]
     tape.register_output(out, rec.stack, out_col, dmulti)
+    if wrap_result:
+        return TapeArray(out, _record_pf(rec.stack, out_col, dmulti), rec.stack)
     return out
 
 

@@ -9,7 +9,7 @@ import pytest
 
 EXAMPLES = sorted(
     p.stem for p in (pathlib.Path(__file__).parent.parent / "examples").glob("*.py")
-    if p.stem != "__init__"
+    if not p.stem.startswith("_")  # helpers (_runner, _ldc_common) are not cases
 )
 
 
