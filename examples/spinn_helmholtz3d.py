@@ -1,6 +1,6 @@
 """SPINN Helmholtz 3-D (reference ``examples/spinn/helmholtz3d.py``).
 
-(u_xx + u_yy + u_zz) + k^2 u = q on (0,1)^3 with manufactured solution
+(u_xx + u_yy + u_zz) + k^2 u = q on (-1,1)^3 with manufactured solution
 u* = sin(a1 pi x) sin(a2 pi y) sin(a3 pi z). SPINN evaluates on a product
 grid of N points per axis — N^3 collocation points for O(3N) network cost.
 Per-axis coordinates are resampled ON DEVICE each step.
@@ -17,7 +17,8 @@ A1, A2, A3 = 4.0, 4.0, 3.0
 K = 1.0
 
 
-def build_solver(epochs=50, iters_per_epoch=100, n_axis=32, output_dir="./output_spinn_helmholtz3d"):
+def build_solver(epochs=50, iters_per_epoch=100, nc=64, hidden_size=64,
+                 nc_test=100, output_dir="./output_spinn_helmholtz3d"):
     import jax
     import jax.numpy as jnp
 
@@ -25,7 +26,7 @@ def build_solver(epochs=50, iters_per_epoch=100, n_axis=32, output_dir="./output
     from paddlescience_tpu.data import DeviceSampledDataset
 
     psci.utils.set_random_seed(42)
-    model = psci.arch.SPINN(("x", "y", "z"), ("u",), r=32, num_layers=4, hidden_size=32)
+    model = psci.arch.SPINN(("x", "y", "z"), ("u",), r=32, num_layers=4, hidden_size=hidden_size)
 
     # hard Dirichlet BC: multiply by sin(pi x)sin(pi y)sin(pi z), which
     # vanishes on the cube boundary (u* does too since a_i are integers)
@@ -50,7 +51,9 @@ def build_solver(epochs=50, iters_per_epoch=100, n_axis=32, output_dir="./output
 
     def sample_fn(key):
         ks = jax.random.split(key, 3)
-        coords = {k: jax.random.uniform(ks[i], (n_axis, 1)) for i, k in enumerate("xyz")}
+        # reference domain [-1, 1]^3, nc points per axis (helmholtz3d.py:52-54)
+        coords = {k: jax.random.uniform(ks[i], (nc, 1), minval=-1.0, maxval=1.0)
+                  for i, k in enumerate("xyz")}
         q = lam * u_star(coords["x"][:, 0], coords["y"][:, 0], coords["z"][:, 0])[..., None]
         return coords, {"helmholtz": q}, {}
 
@@ -66,8 +69,9 @@ def build_solver(epochs=50, iters_per_epoch=100, n_axis=32, output_dir="./output
     )()
     optimizer = psci.optimizer.Adam(lr)(model)
 
-    # validator on a fixed uniform grid
-    grid = np.linspace(0, 1, 32, dtype=np.float32).reshape(-1, 1)
+    # validator on the reference test grid: nc_test^3 product points on
+    # [-1, 1]^3 (reference helmholtz3d.py:86-91, EVAL.nc=100)
+    grid = np.linspace(-1, 1, nc_test, dtype=np.float32).reshape(-1, 1)
     u_ref_grid = np.asarray(u_star(grid[:, 0], grid[:, 0], grid[:, 0]))[..., None]
     validator = {
         "u_val": psci.validate.SupervisedValidator(

@@ -50,6 +50,13 @@ SMOKE_OVERRIDES = {
     "dgmr": ["TRAIN.epochs=2"],
     "topopt": ["TRAIN.epochs=1", "TRAIN.iters_per_epoch=2"],
     "hmc_bayes": ["TRAIN.epochs=1"],
+    # LDC curricula: one tiny Re stage (needs dataset/ldc_Re100.npz from
+    # tools/gen_ldc_reference.py)
+    "ldc_2d_Re3200_piratenet": ["Re=[100]", "epochs=[1]", "TRAIN.iters_per_epoch=4"],
+    "ldc_2d_Re3200_sota": ["Re=[100]", "epochs=[1]", "TRAIN.iters_per_epoch=4"],
+    "ldc_2d_Re1000_plain": ["Re=[100]", "epochs=[1]", "TRAIN.iters_per_epoch=4"],
+    "spinn_helmholtz3d": ["TRAIN.epochs=1", "TRAIN.iters_per_epoch=10",
+                          "TRAIN.nc=16", "TRAIN.nc_test=20"],
 }
 # cases whose smoke run cannot complete in the time budget on CPU, or that
 # are driven by their own generator scripts — still required to IMPORT and

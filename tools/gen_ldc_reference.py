@@ -10,15 +10,17 @@ in-repo by a classical solver — the same role the upstream .mat files play
 Method: vorticity-streamfunction formulation on a uniform grid,
   psi: laplace(psi) = -omega   (DST-I fast Poisson solve, Dirichlet psi=0)
   omega_t + u omega_x + v omega_y = (1/Re) laplace(omega)
-pseudo-time marched to steady state with first-order upwind convection +
-central diffusion and Thom's wall-vorticity closure; regularized lid
+pseudo-time marched to steady state (Heun RK2) with Arakawa's conservative
+9-point Jacobian for convection + central diffusion and Thom's
+wall-vorticity closure; regularized lid
 u_lid(x) = 1 - cosh(50(x-1/2))/cosh(25) matching the PINN BC
 (``ldc_2d_Re3200_piratenet.py:142``) so the reference field and the PINN
 solve the same problem.
 
-Sanity anchor: with the classical uniform lid (--lid uniform), min(psi) at
-Re=100 is -0.1034 and at Re=1000 is -0.1179 (Ghia et al. 1982); the
-regularized lid gives slightly shallower values.
+Sanity anchors (--lid uniform, validated): min(psi) = -0.10340 at Re=100
+(Ghia -0.10342) and -0.11722 at Re=1000 on 129^2 (Ghia -0.11793 — the gap
+is grid resolution; production runs use 257^2). The regularized lid gives
+slightly shallower values.
 
 Usage: python tools/gen_ldc_reference.py [--re 100 400 1000 3200]
        [--n 257] [--steps auto] [--out dataset/]
@@ -68,7 +70,7 @@ def poisson_dst(rhs, h):
 
 
 def solve_cavity(Re: float, n: int = 257, lid: str = "regularized",
-                 steps: int = None, tol: float = 1e-8, report=print):
+                 steps: int = None, tol: float = 1e-7, report=print):
     """March to steady state; returns dict(u, v, psi, omega, x, y)."""
     import jax
     import jax.numpy as jnp
@@ -81,43 +83,53 @@ def solve_cavity(Re: float, n: int = 257, lid: str = "regularized",
         u_lid = np.ones_like(x)
     u_lid = jnp.asarray(u_lid)
 
-    dt_conv = 0.7 * h / 1.0
+    dt_conv = 0.4 * h  # Heun + central advection: keep CFL conservative
     dt_diff = 0.2 * h * h * Re
     dt = float(min(dt_conv, dt_diff))
     if steps is None:
-        steps = int(min(60.0 * max(Re / 400.0, 1.0), 400.0) / dt)
+        # spin-up to steady state slows with Re; convergence is also
+        # checked on psi below so this is an upper bound
+        steps = int(min(max(300.0, 0.6 * Re), 2400.0) / dt)
 
-    def step(state, _):
-        omega, psi = state
-        # psi from omega (interior)
+    def arakawa(a, b):
+        """Arakawa's 9-point Jacobian J(a,b) = a_x b_y - a_y b_x on the
+        interior — 2nd-order, energy/enstrophy conserving, so convection
+        adds NO numerical viscosity (1st-order upwind's artificial
+        viscosity u*h/2 ~ 2e-3 would swamp nu = 1/Re at Re >= 1000)."""
+        j1 = ((a[2:, 1:-1] - a[:-2, 1:-1]) * (b[1:-1, 2:] - b[1:-1, :-2])
+              - (a[1:-1, 2:] - a[1:-1, :-2]) * (b[2:, 1:-1] - b[:-2, 1:-1]))
+        j2 = (a[2:, 1:-1] * (b[2:, 2:] - b[2:, :-2])
+              - a[:-2, 1:-1] * (b[:-2, 2:] - b[:-2, :-2])
+              - a[1:-1, 2:] * (b[2:, 2:] - b[:-2, 2:])
+              + a[1:-1, :-2] * (b[2:, :-2] - b[:-2, :-2]))
+        j3 = (a[2:, 2:] * (b[1:-1, 2:] - b[2:, 1:-1])
+              - a[:-2, :-2] * (b[:-2, 1:-1] - b[1:-1, :-2])
+              - a[:-2, 2:] * (b[1:-1, 2:] - b[:-2, 1:-1])
+              + a[2:, :-2] * (b[2:, 1:-1] - b[1:-1, :-2]))
+        return (j1 + j2 + j3) / (12.0 * h * h)
+
+    def rhs(omega):
+        """omega_t = J(psi, omega) + lap(omega)/Re with Thom wall closure."""
         p_int = poisson_dst(-omega[1:-1, 1:-1], h)
-        psi = jnp.zeros_like(psi).at[1:-1, 1:-1].set(p_int)
-        # velocities (interior, central)
-        u = jnp.zeros_like(psi)
-        v = jnp.zeros_like(psi)
-        u = u.at[1:-1, 1:-1].set((psi[1:-1, 2:] - psi[1:-1, :-2]) / (2 * h))  # u = dpsi/dy
-        v = v.at[1:-1, 1:-1].set(-(psi[2:, 1:-1] - psi[:-2, 1:-1]) / (2 * h))  # v = -dpsi/dx
-        u = u.at[:, -1].set(u_lid)  # lid at y=1
-        # wall vorticity (Thom): walls at x=0, x=1, y=0; lid at y=1
+        psi = jnp.zeros_like(omega).at[1:-1, 1:-1].set(p_int)
         omega = omega.at[0, :].set(-2.0 * psi[1, :] / h**2)
         omega = omega.at[-1, :].set(-2.0 * psi[-2, :] / h**2)
         omega = omega.at[:, 0].set(-2.0 * psi[:, 1] / h**2)
         omega = omega.at[:, -1].set(-2.0 * psi[:, -2] / h**2 - 2.0 * u_lid / h)
-        # upwind convection + central diffusion on the interior
         oc = omega[1:-1, 1:-1]
-        ox_b = (oc - omega[:-2, 1:-1]) / h
-        ox_f = (omega[2:, 1:-1] - oc) / h
-        oy_b = (oc - omega[1:-1, :-2]) / h
-        oy_f = (omega[1:-1, 2:] - oc) / h
-        uu = u[1:-1, 1:-1]
-        vv = v[1:-1, 1:-1]
-        conv = (jnp.where(uu > 0, uu * ox_b, uu * ox_f)
-                + jnp.where(vv > 0, vv * oy_b, vv * oy_f))
         lap = (omega[2:, 1:-1] + omega[:-2, 1:-1] + omega[1:-1, 2:] + omega[1:-1, :-2]
                - 4.0 * oc) / (h * h)
-        new_int = oc + dt * (-conv + lap / Re)
-        omega = omega.at[1:-1, 1:-1].set(new_int)
-        return (omega, psi), jnp.max(jnp.abs(new_int - oc))
+        return arakawa(psi, omega) + lap / Re, omega, psi
+
+    def step(state, _):
+        omega, _ = state
+        # Heun RK2 on the interior; walls re-closed inside rhs
+        f1, omega_bc, psi = rhs(omega)
+        o1 = omega_bc.at[1:-1, 1:-1].add(dt * f1)
+        f2, o1_bc, _ = rhs(o1)
+        new_int = omega_bc[1:-1, 1:-1] + 0.5 * dt * (f1 + f2)
+        omega_new = o1_bc.at[1:-1, 1:-1].set(new_int)
+        return (omega_new, psi), jnp.max(jnp.abs(new_int - omega_bc[1:-1, 1:-1]))
 
     omega = jnp.zeros((n, n))
     psi = jnp.zeros((n, n))
@@ -126,13 +138,17 @@ def solve_cavity(Re: float, n: int = 257, lid: str = "regularized",
     scan = jax.jit(lambda s: jax.lax.scan(step, s, None, length=chunk))
     state = (omega, psi)
     done = 0
+    psi_prev = np.asarray(psi)
     while done < steps:
         state, deltas = scan(state)
         done += chunk
-        d = float(deltas[-1]) / dt
-        if done % 20000 == 0 or d < tol:
-            report(f"Re={Re} n={n}: step {done}/{steps} residual {d:.3e}")
-        if d < tol:
+        psi_now = np.asarray(state[1])
+        dpsi = float(np.abs(psi_now - psi_prev).max()) / (chunk * dt)
+        psi_prev = psi_now
+        if done % 20000 == 0 or dpsi < tol:
+            report(f"Re={Re} n={n}: step {done}/{steps} dpsi/dt {dpsi:.3e} "
+                   f"psi_min {psi_now.min():.6f}")
+        if dpsi < tol:
             break
     omega, psi = state
     # final velocities
