@@ -162,7 +162,16 @@ def train_curriculum(cfg):
 
     carry = None
     metric = float("nan")
+    mixed = bool(cfg.TRAIN.get("mixed_curriculum_precision", False))
     for idx, (Re, epochs) in enumerate(zip(cfg.Re, cfg.epochs)):
+        if mixed:
+            # warmup stages in single-pass bf16 (2x faster), the final Re at
+            # 3-pass precision — each stage builds a fresh jit so the global
+            # matmul precision is picked up per stage
+            import jax
+
+            prec = "high" if idx == len(cfg.Re) - 1 else "default"
+            jax.config.update("jax_default_matmul_precision", prec)
         out_dir = os.path.join(cfg.output_dir or "./output_ldc", f"Re_{int(Re)}")
         print(f"Training curriculum {idx + 1}/{len(cfg.Re)} Re={Re} epochs={epochs}")
         solver = build_stage_solver(cfg, model, optimizer, grad_norm, float(Re), int(epochs), out_dir)

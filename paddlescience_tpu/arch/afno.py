@@ -255,13 +255,26 @@ class PrecipNet(base.Arch):
             num_blocks=num_blocks,
             rngs=rngs,
         )
+        # periodic-pad + 3x3 conv + relu precipitation head
+        # (reference PeriodicPad2d afno.py:86 + conv head :644-648)
+        self.conv = Conv(out_channels, out_channels, (3, 3), padding="VALID", rngs=rngs)
+
+    def forward_tensor(self, x):
+        h = self.backbone.forward_tensor(x)  # (B, C, H, W)
+        h = h.transpose(0, 2, 3, 1)  # (B, H, W, C)
+        # circular in longitude (W), zero in latitude (H)
+        h = jnp.concatenate([h[:, :, -1:], h, h[:, :, :1]], axis=2)
+        h = jnp.pad(h, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        h = jax.nn.relu(self.conv(h))
+        return h.transpose(0, 3, 1, 2)
 
     def __call__(self, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         inp = x[self.input_keys[0]]
         result = {}
         for i in range(self.num_timestamps):
-            wind = self.wind_model.forward_tensor(inp)
-            precip = jax.nn.relu(self.backbone.forward_tensor(wind))
-            result[self.output_keys[i]] = precip
+            # wind backbone is frozen during precip training (reference
+            # afno.py:676 no_grad + wind_model.eval())
+            wind = jax.lax.stop_gradient(self.wind_model.forward_tensor(inp))
+            result[self.output_keys[i]] = self.forward_tensor(wind)
             inp = wind
         return result

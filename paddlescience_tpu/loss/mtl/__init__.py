@@ -72,13 +72,20 @@ class GradNorm(LossAggregator):
         w = jnp.array(self.init_weights, jnp.float32) if self.init_weights else jnp.ones(self.num_losses)
         return {"weight": w}
 
+    def update_weights(self, state: Dict, grad_norms) -> Dict:
+        """Pure weight refresh from per-loss grad norms — called by the
+        solver's amortized update fn OUTSIDE the hot step (the in-step
+        lax.cond carried the k extra vjp passes in the compiled program,
+        doubling its counted FLOPs and HLO size)."""
+        gn = jnp.maximum(grad_norms, 1e-12)
+        new_w = jnp.mean(gn) / gn
+        return {"weight": state["weight"] * self.momentum + new_w * (1 - self.momentum)}
+
     def aggregate(self, losses, state, step, grad_norms=None, key=None):
         weight = state["weight"]
         if grad_norms is not None:
             def update(w):
-                gn = jnp.maximum(grad_norms, 1e-12)
-                new_w = jnp.mean(gn) / gn
-                return w * self.momentum + new_w * (1 - self.momentum)
+                return self.update_weights({"weight": w}, grad_norms)["weight"]
 
             weight = jax.lax.cond(step % self.update_freq == 0, update, lambda w: w, weight)
         total = jnp.sum(jax.lax.stop_gradient(weight) * jnp.stack(list(losses)))
@@ -99,12 +106,15 @@ class NTK(LossAggregator):
     def init_state(self) -> Dict:
         return {"weight": jnp.ones(self.num_losses)}
 
+    def update_weights(self, state: Dict, grad_norms) -> Dict:
+        gn = jnp.maximum(grad_norms, 1e-12)
+        return {"weight": jnp.sum(gn) / gn}
+
     def aggregate(self, losses, state, step, grad_norms=None, key=None):
         weight = state["weight"]
         if grad_norms is not None:
             def update(w):
-                gn = jnp.maximum(grad_norms, 1e-12)
-                return jnp.sum(gn) / gn
+                return self.update_weights({"weight": w}, grad_norms)["weight"]
 
             weight = jax.lax.cond(step % self.update_freq == 0, update, lambda w: w, weight)
         total = jnp.sum(jax.lax.stop_gradient(weight) * jnp.stack(list(losses)))

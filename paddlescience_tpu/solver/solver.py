@@ -197,6 +197,13 @@ class Solver:
             )
 
         self._train_step = None
+        self._agg_update_fn = None
+        # amortized aggregator updates run outside the hot step when the
+        # aggregator supports the pure refresh (update_weights)
+        self._external_grad_norms = (
+            self.loss_aggregator.needs_grad_norms
+            and hasattr(self.loss_aggregator, "update_weights")
+        )
         self.loss_history: List[Tuple[int, float]] = []
         self._eval_fns: Dict[str, Callable] = {}
         self._predict_fn = None
@@ -398,7 +405,7 @@ class Solver:
             target = (state["params"], state["eq_params"])
 
             grad_norms = None
-            if agg.needs_grad_norms:
+            if agg.needs_grad_norms and not getattr(self, "_external_grad_norms", False):
                 freq = getattr(agg, "update_freq", 1000)
 
                 def compute_norms(_):
@@ -471,6 +478,51 @@ class Solver:
             return state, jax.tree.map(lambda x: x[-1], logs)
 
         return jax.jit(scanned, donate_argnums=(0,))
+
+    def _build_agg_update_fn(self):
+        """Jitted amortized aggregator-weight refresh — the k per-loss vjp
+        passes run OUTSIDE the hot train step (the in-step lax.cond version
+        doubled the step program's FLOPs/HLO; staleness semantics are the
+        reference's update_freq amortization, solver/train.py:140 +
+        mtl/grad_norm.py:102-117)."""
+        agg = self.loss_aggregator
+        names = self._loss_names()
+
+        def update_fn(state, host_batches):
+            rest = state["rest"]
+            batches = dict(host_batches)
+            for i, (name, cst) in enumerate(self.constraint.items()):
+                if cst.data_iter is None:
+                    key = jax.random.fold_in(state["rng"], i)
+                    batches[name] = cst.dataset.sample_fn(key)
+
+            def losses_fn(target):
+                params, eq_params = target
+                return self._constraint_losses(params, rest, eq_params, batches)
+
+            target = (state["params"], state["eq_params"])
+            norms = jnp.stack([
+                _global_norm(jax.grad(lambda t, n=name: losses_fn(t)[n])(target))
+                for name in names
+            ])
+            return agg.update_weights(state["agg_state"], norms)
+
+        return jax.jit(update_fn)
+
+    def _maybe_refresh_agg_weights(self, host_batches, global_step: int, span: int = 1) -> None:
+        """Refresh aggregator weights if any step in [global_step,
+        global_step+span) hits the update frequency."""
+        agg = self.loss_aggregator
+        if not (agg.needs_grad_norms and getattr(self, "_external_grad_norms", False)):
+            return
+        freq = getattr(agg, "update_freq", 1000)
+        # does [global_step, global_step + span) contain a multiple of freq?
+        first_multiple = ((global_step + freq - 1) // freq) * freq
+        if not (global_step <= first_multiple < global_step + span):
+            return
+        if self._agg_update_fn is None:
+            self._agg_update_fn = self._build_agg_update_fn()
+        self.state["agg_state"] = self._agg_update_fn(self.state, host_batches)
 
     def _build_scanned_train_step_static(self, num_fused_steps: int, batches):
         """Scan variant with a fixed host batch closed over (no (K, ...)
@@ -603,7 +655,9 @@ class Solver:
                         host_batches[name] = (put(inp), put(lab), put(wgt))
                 reader_meter.update(time.perf_counter() - t0)
 
-                profiler.maybe_start((epoch - 1) * self.iters_per_epoch + it)
+                global0 = (epoch - 1) * self.iters_per_epoch + it
+                self._maybe_refresh_agg_weights(host_batches, global0)
+                profiler.maybe_start(global0)
                 self.state, logs = self._train_step(self.state, host_batches)
                 step = (epoch - 1) * self.iters_per_epoch + it + 1  # host-side; no device sync
                 profiler.maybe_stop(step)
@@ -694,6 +748,11 @@ class Solver:
                             put(jax.tree.map(lambda *xs: np.stack(xs), *[b[i] for b in batches]))
                             for i in range(3)
                         )
+                # weight refresh sees the chunk's first batch
+                first_of = {n: tuple(jax.tree.map(lambda x: x[0], t) for t in b)
+                            for n, b in stacked.items()}
+                self._maybe_refresh_agg_weights(
+                    first_of, (epoch - 1) * self.iters_per_epoch + chunk * k, span=k)
                 self.state, logs = self._train_step_scan(scan_fn, stacked)
                 step = (epoch - 1) * self.iters_per_epoch + (chunk + 1) * k
                 if step % max(self.log_freq, k) < k or chunk == self.iters_per_epoch // k - 1:
@@ -758,6 +817,8 @@ class Solver:
         global_start = time.perf_counter()
         for epoch in range(start_epoch, self.epochs + 1):
             for chunk in range(self.iters_per_epoch // k):
+                self._maybe_refresh_agg_weights(
+                    host_batches, (epoch - 1) * self.iters_per_epoch + chunk * k, span=k)
                 self.state, logs = scan_fn(self.state)
                 step = (epoch - 1) * self.iters_per_epoch + (chunk + 1) * k
                 if step % max(self.log_freq, k) < k or chunk == self.iters_per_epoch // k - 1:

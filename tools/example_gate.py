@@ -151,7 +151,9 @@ def main():
         print(f"[gate] {case}: {status} metric={res['metric']} ({res['seconds']}s)")
 
     if args.repin and args.tier == "smoke":
-        new_pins = {}
+        # merge into existing pins so a --cases subset repin never drops
+        # the other cases' entries
+        new_pins = dict(pins)
         for case, res in results.items():
             if res.get("metric") is not None:
                 new_pins[case] = {"metric": res["metric"], "seconds": res["seconds"],
