@@ -33,8 +33,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NT, NX = 39, 28
 T_END = 19.0
-A, B = 1.0, 3.0
-DU, DV = 0.002, 0.02  # Turing-unstable: b=3 > (1 + a*sqrt(Du/Dv))^2 ~ 1.73
+A, B = 1.0, 1.7
+# stable regime: b=1.7 < 1 + a^2 = 2, so the unforced system relaxes to the
+# (a, b/a) fixed point and the forcing->response map is a smooth nonlinear
+# filter — the LNO paper's transient-response setting. (The earlier b=3
+# limit-cycle regime made the operator chaotic-sensitive: train L2Rel
+# plateaued ~0.11 while test decoded L2Rel stayed ~0.41.)
+DU, DV = 0.002, 0.02
 
 
 def _forcing(rng, t):
