@@ -89,6 +89,12 @@ class Arch(Module):
         constraint enforcement etc.), applied after forward."""
         self._output_transform = transform
 
+    def supports_jet(self) -> bool:
+        """Whether this arch provides ``forward_jet`` (a fused batched
+        Taylor-jet forward, see ``autodiff/jet.py``). MLP-family archs
+        override; everything else uses the generic nested-jvp stacks."""
+        return False
+
     # -- info -----------------------------------------------------------------
 
     def freeze(self):

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from paddlescience_tpu.arch import activation as act_mod
 from paddlescience_tpu.arch import base
+from paddlescience_tpu.autodiff import jet
 from paddlescience_tpu.nn.core import Buffer, Lambda, Module, Param, Rngs
 from paddlescience_tpu.nn.layers import Linear
 from paddlescience_tpu.utils import initializer
@@ -150,6 +151,56 @@ def _make_act(name: str, size: int, rngs: Rngs) -> Module:
     return Lambda(act)
 
 
+def _jet_linear(layer, jx: "jet.Jet") -> "jet.Jet":
+    """Apply any of the three linear flavors to a Jet: resolve the effective
+    weight once (constant w.r.t. coordinates), then one stacked matmul."""
+    if isinstance(layer, WeightNormLinear):
+        v = layer.weight_v
+        w = layer.weight_g * v / jnp.linalg.norm(v, axis=0, keepdims=True)
+        b = layer.bias if layer._use_bias else None
+    elif isinstance(layer, RandomWeightFactorization):
+        w = layer.weight_g * layer.weight_v
+        b = layer.bias if layer._use_bias else None
+    else:
+        w = layer.weight
+        b = layer.bias if layer._use_bias else None
+    return jet.linear(jx, w, b)
+
+
+def _jet_gate(y: "jet.Jet", u: "jet.Jet", v: "jet.Jet") -> "jet.Jet":
+    """y*u + (1-y)*v == v + y*(u-v): one jet product instead of two."""
+    return jet.add(v, jet.mul(y, jet.sub(u, v)))
+
+
+def _jet_embed(model, jx: "jet.Jet") -> "jet.Jet":
+    """Period + Fourier embeddings on a Jet of the concatenated coordinates
+    (input_keys order), mirroring the batched ``__call__`` path."""
+    if model.periods:
+        cols = jet.split(jx, [1] * len(model.input_keys))
+        new_cols = []
+        for k, c in zip(model.input_keys, cols):
+            if k in model.periods:
+                w = getattr(model.period_emb, f"freq_{k}")
+                new_cols.append(
+                    jet.concat(
+                        [
+                            jet.elementwise(c, lambda z, _w=w: jnp.cos(_w * z)),
+                            jet.elementwise(c, lambda z, _w=w: jnp.sin(_w * z)),
+                        ],
+                        axis=-1,
+                    )
+                )
+            else:
+                new_cols.append(c)
+        jx = jet.concat(new_cols, axis=-1)
+    if model.fourier:
+        z = jet.linear(jx, model.fourier_emb.kernel)
+        jx = jet.concat(
+            [jet.elementwise(z, jnp.cos), jet.elementwise(z, jnp.sin)], axis=-1
+        )
+    return jx
+
+
 def _resolve_sizes(hidden_size, num_layers, what="num_layers"):
     if isinstance(hidden_size, (tuple, list)):
         if num_layers is not None:
@@ -246,6 +297,23 @@ class MLP(base.Arch):
             y = self._output_transform(x, y)
         return y
 
+    def supports_jet(self) -> bool:
+        return self._input_transform is None and self._output_transform is None
+
+    def forward_jet(self, jx: "jet.Jet") -> "jet.Jet":
+        jx = _jet_embed(self, jx)
+        skip = None
+        for i, linear in enumerate(self.linears):
+            jx = _jet_linear(linear, jx)
+            if self.skip_connection and i % 2 == 0:
+                if skip is not None:
+                    skip = jx
+                    jx = jet.add(jx, skip)
+                else:
+                    skip = jx
+            jx = jet.elementwise(jx, self.acts[i])
+        return _jet_linear(self.last_fc, jx)
+
 
 class ModifiedMLP(base.Arch):
     """Two-stream gated MLP (reference ppsci/arch/mlp.py:318;
@@ -336,6 +404,27 @@ class ModifiedMLP(base.Arch):
             y = self._output_transform(x_identity, y)
         return y
 
+    def supports_jet(self) -> bool:
+        return self._input_transform is None and self._output_transform is None
+
+    def forward_jet(self, jx: "jet.Jet") -> "jet.Jet":
+        jx = _jet_embed(self, jx)
+        u = jet.elementwise(_jet_linear(self.embed_u, jx), self.embed_act_u)
+        v = jet.elementwise(_jet_linear(self.embed_v, jx), self.embed_act_v)
+        y = jx
+        skip = None
+        for i, linear in enumerate(self.linears):
+            y = _jet_linear(linear, y)
+            y = jet.elementwise(y, self.acts[i])
+            y = _jet_gate(y, u, v)
+            if self.skip_connection and i % 2 == 0:
+                if skip is not None:
+                    skip = y
+                    y = jet.add(y, skip)
+                else:
+                    skip = y
+        return _jet_linear(self.last_fc, y)
+
 
 class PirateNetBlock(Module):
     """Residual adaptive block (reference ppsci/arch/mlp.py:530;
@@ -364,6 +453,14 @@ class PirateNetBlock(Module):
         z2 = g * u + (1 - g) * v
         h = self.act3(self.linear3(z2))
         return self.alpha * h + (1 - self.alpha) * x
+
+    def forward_jet(self, x: "jet.Jet", u: "jet.Jet", v: "jet.Jet") -> "jet.Jet":
+        f = jet.elementwise(_jet_linear(self.linear1, x), self.act1)
+        z1 = _jet_gate(f, u, v)
+        g = jet.elementwise(_jet_linear(self.linear2, z1), self.act2)
+        z2 = _jet_gate(g, u, v)
+        h = jet.elementwise(_jet_linear(self.linear3, z2), self.act3)
+        return jet.add(jet.scale_const(h, self.alpha), jet.scale_const(x, 1 - self.alpha))
 
 
 class PirateNet(base.Arch):
@@ -439,3 +536,15 @@ class PirateNet(base.Arch):
         if self._output_transform is not None:
             y = self._output_transform(x, y)
         return y
+
+    def supports_jet(self) -> bool:
+        return self._input_transform is None and self._output_transform is None
+
+    def forward_jet(self, jx: "jet.Jet") -> "jet.Jet":
+        jx = _jet_embed(self, jx)
+        u = jet.elementwise(_jet_linear(self.embed_u, jx), self.embed_act_u)
+        v = jet.elementwise(_jet_linear(self.embed_v, jx), self.embed_act_v)
+        y = jx
+        for block in self.blocks:
+            y = block.forward_jet(y, u, v)
+        return _jet_linear(self.last_fc, y)

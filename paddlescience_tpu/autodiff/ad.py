@@ -62,12 +62,15 @@ class _DerivStack:
         key_index: Dict[str, int],
         out_index: Dict[str, int],
         extras=None,
+        jet_fn: Optional[Callable] = None,
     ):
         self.fn = fn  # fn(xvec, extras) -> (m,)
         self.x = x
         self.key_index = key_index  # coordinate key -> input column
         self.out_index = out_index  # output key -> output column
         self.extras = extras if extras is not None else {}
+        self.jet_fn = jet_fn  # jet_fn(x, dmultis) -> {dmulti: (N, m)} or None
+        self.requested: Dict[Tuple[int, ...], None] = {}  # ordered set
         self._orders: Dict[int, jnp.ndarray] = {}
         self._components: Dict[Tuple[int, ...], jnp.ndarray] = {}
 
@@ -95,6 +98,7 @@ class _DerivStack:
         across components.
         """
         dmulti = tuple(sorted(dmulti))
+        self.requested[dmulti] = None
         if dmulti not in self._components:
             fn = self.fn
             d = self.x.shape[-1]
@@ -108,6 +112,19 @@ class _DerivStack:
 
             self._components[dmulti] = jax.vmap(kth)(self.x, self.extras)
         return self._components[dmulti]
+
+    def precompute(self, dmultis) -> None:
+        """Fill the component cache for all order<=2 requests in one fused
+        Taylor-jet forward (``autodiff/jet.py``) — one matmul per layer for
+        the whole derivative stack instead of one tangent chain per component.
+        Higher-order requests (or stacks without a jet_fn) keep the nested-jvp
+        path."""
+        if self.jet_fn is None:
+            return
+        eligible = [m for m in dmultis if 0 < len(m) <= 2 and m not in self._components]
+        if not eligible:
+            return
+        self._components.update(self.jet_fn(self.x, eligible))
 
     def clear(self):
         self._orders.clear()
@@ -185,8 +202,9 @@ class Tape:
         key_index: Dict[str, int],
         out_index: Dict[str, int],
         extras=None,
+        jet_fn: Optional[Callable] = None,
     ) -> _DerivStack:
-        stack = _DerivStack(fn, x, key_index, out_index, extras=extras)
+        stack = _DerivStack(fn, x, key_index, out_index, extras=extras, jet_fn=jet_fn)
         self._stacks.append(stack)
         return stack
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Mapping, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from paddlescience_tpu.autodiff import ad
@@ -218,7 +219,22 @@ def forward_with_derivatives(
                 o = _model(feed_pt)
                 return jnp.concatenate([o[k] for k in _ok], axis=-1)
 
-            stack = tape.add_stack(pointwise, x, key_index, out_index, extras=extras)
+            # MLP-family archs expose a fused Taylor-jet forward: all
+            # order<=2 components ride ONE batched pass (one matmul per
+            # layer) instead of per-component nested-jvp chains. Only valid
+            # when every model input is a differentiable coordinate column.
+            jet_fn = None
+            if not extra_keys and getattr(model, "supports_jet", lambda: False)():
+                def jet_fn(xb, dmultis, _model=model):
+                    from paddlescience_tpu.autodiff import jet as jetmod
+
+                    idx = jetmod.build_index(dmultis)
+                    jout = _model.forward_jet(jetmod.seed(xb, idx))
+                    return {tuple(sorted(m)): jout.component(m) for m in dmultis}
+
+            stack = tape.add_stack(
+                pointwise, x, key_index, out_index, extras=extras, jet_fn=jet_fn
+            )
             for k in out_keys:
                 arr = batched_out[k]
                 tape.register_output(arr, stack, out_index[k])
@@ -227,6 +243,39 @@ def forward_with_derivatives(
             out.update(batched_out)
 
     return out
+
+
+def _collect_jet_requests(models, input_dict, output_exprs, extra_values):
+    """Discover which derivative components the expressions will ask for,
+    WITHOUT adding any ops to the caller's trace: replay the whole evaluation
+    under ``jax.eval_shape`` (purely abstract) and read each dense stack's
+    ``requested`` log. Returns one ordered request-set per dense stack (in
+    stack-creation order), or None when no model has a jet forward / the
+    abstract replay fails (then everything stays on the lazy nested-jvp
+    path, which is always correct)."""
+    if not any(getattr(m, "supports_jet", lambda: False)() for m in models):
+        return None
+    collected: list = []
+
+    def run(inp):
+        with ad.tape_context() as tape:
+            out = forward_with_derivatives(models, inp, tape)
+            if extra_values:
+                out.update(extra_values)
+            wrapped = ad.wrap_tape_outputs(tape, out)
+            for expr in output_exprs.values():
+                if callable(expr):
+                    expr(wrapped)
+            collected.extend(
+                tuple(s.requested) for s in tape._stacks if isinstance(s, ad._DerivStack)
+            )
+        return jnp.zeros(())
+
+    try:
+        jax.eval_shape(run, dict(input_dict))
+    except Exception:
+        return None
+    return collected
 
 
 def evaluate_expressions(
@@ -242,8 +291,14 @@ def evaluate_expressions(
     (expression.py:60-131) for one constraint; losses are applied by the
     caller so the whole step stays one traced function.
     """
+    jet_requests = _collect_jet_requests(models, input_dict, output_exprs, extra_values)
     with ad.tape_context() as tape:
         out = forward_with_derivatives(models, input_dict, tape)
+        if jet_requests is not None:
+            dense = [s for s in tape._stacks if isinstance(s, ad._DerivStack)]
+            if len(dense) == len(jet_requests):
+                for stack, reqs in zip(dense, jet_requests):
+                    stack.precompute(reqs)
         if extra_values:
             out.update(extra_values)
         # TapeArray view: composed expressions (rho * u, lam-weighted
