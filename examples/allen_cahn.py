@@ -229,6 +229,15 @@ def _solver_from_cfg(cfg, **overrides):
 
 
 def train(cfg):
+    # TRAIN.matmul_precision: "default" (bf16 passes, fastest), "high"
+    # (3-pass f32) or "highest". The reference trains pure f32 on GPU; on TPU
+    # the bf16 default floors final L2Rel around 1e-4, so the accuracy-pin
+    # recipe runs with "high".
+    prec = cfg.TRAIN.get("matmul_precision")
+    if prec:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", str(prec))
     solver, _ = _solver_from_cfg(cfg)
     solver.train()
     metric, _ = solver.eval()

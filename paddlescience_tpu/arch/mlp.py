@@ -19,6 +19,7 @@ vmap pointwise.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax
@@ -151,25 +152,124 @@ def _make_act(name: str, size: int, rngs: Rngs) -> Module:
     return Lambda(act)
 
 
-def _jet_linear(layer, jx: "jet.Jet") -> "jet.Jet":
-    """Apply any of the three linear flavors to a Jet: resolve the effective
-    weight once (constant w.r.t. coordinates), then one stacked matmul."""
+def _linear_eff(layer):
+    """Effective (W, b) of any linear flavor — constant w.r.t. coordinates,
+    differentiable w.r.t. the underlying parameters."""
     if isinstance(layer, WeightNormLinear):
         v = layer.weight_v
         w = layer.weight_g * v / jnp.linalg.norm(v, axis=0, keepdims=True)
-        b = layer.bias if layer._use_bias else None
     elif isinstance(layer, RandomWeightFactorization):
         w = layer.weight_g * layer.weight_v
-        b = layer.bias if layer._use_bias else None
     else:
         w = layer.weight
-        b = layer.bias if layer._use_bias else None
+    return w, (layer.bias if layer._use_bias else None)
+
+
+def _jet_linear(layer, jx: "jet.Jet") -> "jet.Jet":
+    """Apply any of the three linear flavors to a Jet: resolve the effective
+    weight once, then one stacked matmul."""
+    w, b = _linear_eff(layer)
     return jet.linear(jx, w, b)
 
 
 def _jet_gate(y: "jet.Jet", u: "jet.Jet", v: "jet.Jet") -> "jet.Jet":
     """y*u + (1-y)*v == v + y*(u-v): one jet product instead of two."""
     return jet.add(v, jet.mul(y, jet.sub(u, v)))
+
+
+def _piratenet_block_fn(act1, act2, act3):
+    """Pure segment function for one PirateNet block (jet primitives only) —
+    the body executed inside the fused Pallas kernel."""
+
+    def fn(ws, y, u, v):
+        w1, b1, w2, b2, w3, b3, alpha = ws
+        f = jet.elementwise(jet.linear(y, w1, b1), act1)
+        z1 = _jet_gate(f, u, v)
+        g = jet.elementwise(jet.linear(z1, w2, b2), act2)
+        z2 = _jet_gate(g, u, v)
+        h = jet.elementwise(jet.linear(z2, w3, b3), act3)
+        return (jet.add(jet.scale_const(h, alpha), jet.scale_const(y, 1 - alpha)),)
+
+    return fn
+
+
+def _piratenet_block_ws(block):
+    w1, b1 = _linear_eff(block.linear1)
+    w2, b2 = _linear_eff(block.linear2)
+    w3, b3 = _linear_eff(block.linear3)
+    return (w1, b1, w2, b2, w3, b3, block.alpha)
+
+
+def _mlp_segment_fn(acts, gated: bool):
+    """Segment function for ``len(acts)`` consecutive MLP layers
+    (linear + activation [+ two-stream gate for ModifiedMLP])."""
+
+    def fn(ws, y, *uv):
+        for i, act in enumerate(acts):
+            y = jet.elementwise(jet.linear(y, ws[2 * i], ws[2 * i + 1]), act)
+            if gated:
+                y = _jet_gate(y, uv[0], uv[1])
+        return (y,)
+
+    return fn
+
+
+def _jet_pallas_ok(model, layers_acts, linears=()) -> bool:
+    if os.environ.get("PSCI_JET_PALLAS", "1") != "1":
+        return False
+    from paddlescience_tpu.ops import jet_pallas
+
+    if not jet_pallas.pallas_available():
+        return False
+    # narrow nets (hidden < 128 lanes, e.g. the cylinder 5x50 MLP) waste most
+    # of the VPU/MXU lane dimension in a hand-rolled kernel — XLA's fused
+    # path is already fine there
+    if not jet_pallas.interpret_forced():
+        for l in linears:
+            if _linear_out_features(l) < 128:
+                return False
+    # parametric activations (Stan/Swish) close over Params the segment spec
+    # can't route gradients to — those stay on the pure-JAX path
+    return all(isinstance(a, Lambda) for a in layers_acts)
+
+
+def _linear_out_features(layer) -> int:
+    for attr in ("weight", "weight_v"):
+        w = getattr(layer, attr, None)
+        if w is not None:
+            return int(w.shape[-1])
+    return 0
+
+
+def _jet_pallas_segments(model, jx, linears, acts, gated, uv=()):
+    """Run (linear+act[+gate]) layers as fused Pallas segments of
+    PSCI_JET_SEG layers each."""
+    from paddlescience_tpu.ops import jet_pallas
+
+    cache = getattr(model, "_jet_specs", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(model, "_jet_specs", cache)
+    g = int(os.environ.get("PSCI_JET_SEG", "3"))
+    bm = int(os.environ.get("PSCI_JET_BLOCK_M", "256"))
+    y = jx
+    for s in range(0, len(linears), g):
+        seg_l = linears[s : s + g]
+        seg_a = acts[s : s + g]
+        key = ("mlp_seg", s, len(seg_l), gated, y.index)
+        if key not in cache:
+            cache[key] = jet_pallas.SegmentSpec(
+                _mlp_segment_fn(tuple(seg_a), gated),
+                y.index, n_in=1 + len(uv), n_out=1, block_m=bm,
+                interpret=jet_pallas.interpret_forced(),
+                name="mlp_seg",
+            )
+        ws = []
+        for l in seg_l:
+            w, b = _linear_eff(l)
+            ws += [w, b]
+        y = jet_pallas.fused_jet_segment(cache[key], tuple(ws), y, *uv)
+    return y
 
 
 def _jet_embed(model, jx: "jet.Jet") -> "jet.Jet":
@@ -302,6 +402,9 @@ class MLP(base.Arch):
 
     def forward_jet(self, jx: "jet.Jet") -> "jet.Jet":
         jx = _jet_embed(self, jx)
+        if not self.skip_connection and _jet_pallas_ok(self, self.acts, self.linears):
+            jx = _jet_pallas_segments(self, jx, self.linears, self.acts, gated=False)
+            return _jet_linear(self.last_fc, jx)
         skip = None
         for i, linear in enumerate(self.linears):
             jx = _jet_linear(linear, jx)
@@ -412,6 +515,9 @@ class ModifiedMLP(base.Arch):
         u = jet.elementwise(_jet_linear(self.embed_u, jx), self.embed_act_u)
         v = jet.elementwise(_jet_linear(self.embed_v, jx), self.embed_act_v)
         y = jx
+        if not self.skip_connection and _jet_pallas_ok(self, self.acts, self.linears):
+            y = _jet_pallas_segments(self, y, self.linears, self.acts, gated=True, uv=(u, v))
+            return _jet_linear(self.last_fc, y)
         skip = None
         for i, linear in enumerate(self.linears):
             y = _jet_linear(linear, y)
@@ -545,6 +651,58 @@ class PirateNet(base.Arch):
         u = jet.elementwise(_jet_linear(self.embed_u, jx), self.embed_act_u)
         v = jet.elementwise(_jet_linear(self.embed_v, jx), self.embed_act_v)
         y = jx
+        if self._use_jet_pallas():
+            # each residual block is one fused Pallas kernel: 3 matmuls +
+            # gates + jet chain rules stay in VMEM; only the block-boundary
+            # jet streams touch HBM, and the Pallas backward rematerializes
+            # block internals per batch tile (ops/jet_pallas.py)
+            from paddlescience_tpu.ops import jet_pallas
+
+            for block in self.blocks:
+                spec = self._jet_block_spec(block, y.index)
+                y = jet_pallas.fused_jet_segment(spec, _piratenet_block_ws(block), y, u, v)
+            return _jet_linear(self.last_fc, y)
+        # pure-JAX fallback: rematerialize each block in the backward pass so
+        # only boundary jets round-trip through HBM (opt out: PSCI_JET_REMAT=0)
+        remat = os.environ.get("PSCI_JET_REMAT", "1") == "1"
         for block in self.blocks:
-            y = block.forward_jet(y, u, v)
+            if remat:
+                y = jax.checkpoint(
+                    lambda y_, u_, v_, _b=block: _b.forward_jet(y_, u_, v_)
+                )(y, u, v)
+            else:
+                y = block.forward_jet(y, u, v)
         return _jet_linear(self.last_fc, y)
+
+    def _use_jet_pallas(self) -> bool:
+        if os.environ.get("PSCI_JET_PALLAS", "1") != "1":
+            return False
+        from paddlescience_tpu.ops import jet_pallas
+
+        if not jet_pallas.pallas_available():
+            return False
+        # parametric activations (Stan/Swish) close over Params the segment
+        # spec can't route gradients to — keep those on the pure-JAX path
+        return _jet_pallas_ok(
+            self,
+            [a for b in self.blocks for a in (b.act1, b.act2, b.act3)],
+            [l for b in self.blocks for l in (b.linear1, b.linear2, b.linear3)],
+        )
+
+    def _jet_block_spec(self, block, index):
+        from paddlescience_tpu.ops import jet_pallas
+
+        cache = getattr(self, "_jet_specs", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_jet_specs", cache)
+        key = (id(block), index)
+        if key not in cache:
+            bm = int(os.environ.get("PSCI_JET_BLOCK_M", "256"))
+            cache[key] = jet_pallas.SegmentSpec(
+                _piratenet_block_fn(block.act1, block.act2, block.act3),
+                index, n_in=3, n_out=1, block_m=bm,
+                interpret=jet_pallas.interpret_forced(),
+                name="piratenet_block",
+            )
+        return cache[key]

@@ -63,6 +63,7 @@ class _DerivStack:
         out_index: Dict[str, int],
         extras=None,
         jet_fn: Optional[Callable] = None,
+        out_width: Optional[int] = None,
     ):
         self.fn = fn  # fn(xvec, extras) -> (m,)
         self.x = x
@@ -71,6 +72,10 @@ class _DerivStack:
         self.extras = extras if extras is not None else {}
         self.jet_fn = jet_fn  # jet_fn(x, dmultis) -> {dmulti: (N, m)} or None
         self.requested: Dict[Tuple[int, ...], None] = {}  # ordered set
+        self.collect_only = False  # abstract replay: record, skip jvp tracing
+        if out_width is None:
+            out_width = max(out_index.values()) + 1 if out_index else 1
+        self.out_width = out_width
         self._orders: Dict[int, jnp.ndarray] = {}
         self._components: Dict[Tuple[int, ...], jnp.ndarray] = {}
 
@@ -99,6 +104,11 @@ class _DerivStack:
         """
         dmulti = tuple(sorted(dmulti))
         self.requested[dmulti] = None
+        if self.collect_only:
+            # request-collection replay (under eval_shape): the value is
+            # never used for real — return a shape/dtype stand-in instead of
+            # tracing the whole nested-jvp chain (halves trace time)
+            return jnp.zeros(self.x.shape[:-1] + (self.out_width,), self.x.dtype)
         if dmulti not in self._components:
             fn = self.fn
             d = self.x.shape[-1]
@@ -190,6 +200,7 @@ class Tape:
         self._records: Dict[int, Tuple[jnp.ndarray, _Record]] = {}
         self._coords: Dict[int, Tuple[jnp.ndarray, str]] = {}
         self._stacks: List[_DerivStack] = []
+        self.collecting = False  # abstract request-collection replay
 
     # -- registration ---------------------------------------------------------
     def register_coord(self, name: str, arr: jnp.ndarray) -> None:
@@ -203,8 +214,11 @@ class Tape:
         out_index: Dict[str, int],
         extras=None,
         jet_fn: Optional[Callable] = None,
+        out_width: Optional[int] = None,
     ) -> _DerivStack:
-        stack = _DerivStack(fn, x, key_index, out_index, extras=extras, jet_fn=jet_fn)
+        stack = _DerivStack(fn, x, key_index, out_index, extras=extras,
+                            jet_fn=jet_fn, out_width=out_width)
+        stack.collect_only = self.collecting
         self._stacks.append(stack)
         return stack
 

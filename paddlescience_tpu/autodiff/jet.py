@@ -156,6 +156,16 @@ class Jet:
         return f"Jet(streams={self.index.multis}, shape={self.streams[0].shape})"
 
 
+# Jet is a pytree (streams = children, index = static) so jets can cross
+# jax.checkpoint / scan / jit boundaries — block-level rematerialization of
+# the jet forward trades HBM round trips for recompute in the backward pass.
+jax.tree_util.register_pytree_node(
+    Jet,
+    lambda j: (j.streams, j.index),
+    lambda index, streams: Jet(streams, index),
+)
+
+
 def seed(x: jnp.ndarray, index: JetIndex) -> Jet:
     """Seed the coordinate jet: primal = x (N, d); singleton (i,) = e_i;
     pairs = 0 (coordinates are affine in themselves)."""

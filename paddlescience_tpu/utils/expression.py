@@ -64,7 +64,7 @@ def _forward_transform_on_tape(model, input_dict, tape: ad.Tape) -> Dict[str, jn
         o = _raw_forward(_m, feed_pt)
         return jnp.concatenate([o[k] for k in _rk], axis=-1)
 
-    stack = tape.add_stack(raw_pointwise, x, key_index, out_index, extras=extras)
+    stack = tape.add_stack(raw_pointwise, x, key_index, out_index, extras=extras, out_width=ofs)
 
     wrapped_out: Dict[str, object] = {}
     for k in raw_keys:
@@ -99,7 +99,7 @@ def _forward_transform_on_tape(model, input_dict, tape: ad.Tape) -> Dict[str, jn
         def t_fn(xvec, ex, _pfs=tuple(pfs)):
             return jnp.concatenate([p(xvec, ex) for p in _pfs], axis=-1)
 
-        tstack = tape.add_stack(t_fn, x, key_index, t_index, extras=extras)
+        tstack = tape.add_stack(t_fn, x, key_index, t_index, extras=extras, out_width=ofs)
         for k, v in tracked:
             tape.register_output(v.value, tstack, t_index[k])
             result[k] = v.value
@@ -233,7 +233,8 @@ def forward_with_derivatives(
                     return {tuple(sorted(m)): jout.component(m) for m in dmultis}
 
             stack = tape.add_stack(
-                pointwise, x, key_index, out_index, extras=extras, jet_fn=jet_fn
+                pointwise, x, key_index, out_index, extras=extras, jet_fn=jet_fn,
+                out_width=ofs,
             )
             for k in out_keys:
                 arr = batched_out[k]
@@ -259,6 +260,7 @@ def _collect_jet_requests(models, input_dict, output_exprs, extra_values):
 
     def run(inp):
         with ad.tape_context() as tape:
+            tape.collecting = True
             out = forward_with_derivatives(models, inp, tape)
             if extra_values:
                 out.update(extra_values)

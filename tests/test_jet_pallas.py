@@ -1,0 +1,127 @@
+"""Parity tests for the fused Pallas jet-segment kernels (ops/jet_pallas.py),
+run through the Pallas interpreter on CPU. Values AND gradients (weights and
+carry jets) must match the pure-JAX jet primitives, including the
+ragged-batch padding path and weight-gradient accumulation across the grid.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.flatten_util import ravel_pytree
+
+from paddlescience_tpu.autodiff import jet as jetmod
+from paddlescience_tpu.ops import jet_pallas as jp
+
+
+@pytest.fixture(autouse=True)
+def _force_interpret(monkeypatch):
+    monkeypatch.setenv("PSCI_JET_PALLAS_INTERPRET", "1")
+
+
+def _block_fn(ws, y, u, v):
+    w1, b1, w2, b2, w3, b3, alpha = ws
+    f = jetmod.elementwise(jetmod.linear(y, w1, b1), jnp.tanh)
+    z1 = jetmod.add(v, jetmod.mul(f, jetmod.sub(u, v)))
+    g = jetmod.elementwise(jetmod.linear(z1, w2, b2), jnp.tanh)
+    z2 = jetmod.add(v, jetmod.mul(g, jetmod.sub(u, v)))
+    h = jetmod.elementwise(jetmod.linear(z2, w3, b3), jnp.tanh)
+    return (jetmod.add(jetmod.scale_const(h, alpha), jetmod.scale_const(y, 1 - alpha)),)
+
+
+def _mk(n=70, w=24, seed=0):
+    idx = jetmod.build_index([(0,), (0, 1), (1, 1)])
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    ws = (
+        jax.random.normal(ks[0], (w, w)) * 0.3, jnp.zeros((w,)),
+        jax.random.normal(ks[1], (w, w)) * 0.3, jnp.zeros((w,)),
+        jax.random.normal(ks[2], (w, w)) * 0.3, jnp.zeros((w,)),
+        jnp.asarray([0.37]),
+    )
+
+    def mkjet(k):
+        return jetmod.Jet(
+            [jax.random.normal(jax.random.fold_in(k, i), (n, w)) for i in range(len(idx))],
+            idx,
+        )
+
+    return idx, ws, mkjet(ks[3]), mkjet(ks[4]), mkjet(ks[5])
+
+
+def test_segment_value_and_grad_parity():
+    idx, ws, y, u, v = _mk(n=70, w=24)  # n NOT a multiple of block_m: pad path
+    spec = jp.SegmentSpec(_block_fn, idx, n_in=3, n_out=1, block_m=32, interpret=True)
+
+    def loss_pallas(ws, y, u, v):
+        (yo,) = (jp.fused_jet_segment(spec, ws, y, u, v),)
+        return sum(jnp.sum(s ** 2) for s in yo.streams)
+
+    def loss_ref(ws, y, u, v):
+        (yo,) = _block_fn(ws, y, u, v)
+        return sum(jnp.sum(s ** 2) for s in yo.streams)
+
+    vp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2, 3))(ws, y, u, v)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(ws, y, u, v)
+    np.testing.assert_allclose(vp, vr, rtol=1e-5)
+    fp, _ = ravel_pytree(gp)
+    fr, _ = ravel_pytree(gr)
+    np.testing.assert_allclose(fp, fr, rtol=2e-3, atol=2e-3)
+
+
+def test_segment_under_jit_and_chained():
+    idx, ws, y, u, v = _mk(n=64, w=16)
+    spec = jp.SegmentSpec(_block_fn, idx, n_in=3, n_out=1, block_m=32, interpret=True)
+
+    @jax.jit
+    def run(ws, y, u, v):
+        out = y
+        for _ in range(3):
+            out = jp.fused_jet_segment(spec, ws, out, u, v)
+        return sum(jnp.sum(s ** 2) for s in out.streams)
+
+    def ref(ws, y, u, v):
+        out = y
+        for _ in range(3):
+            (out,) = _block_fn(ws, out, u, v)
+        return sum(jnp.sum(s ** 2) for s in out.streams)
+
+    np.testing.assert_allclose(run(ws, y, u, v), ref(ws, y, u, v), rtol=1e-5)
+    gp = jax.jit(jax.grad(run))(ws, y, u, v)
+    gr = jax.grad(ref)(ws, y, u, v)
+    fp, _ = ravel_pytree(gp)
+    fr, _ = ravel_pytree(gr)
+    np.testing.assert_allclose(fp, fr, rtol=2e-3, atol=2e-3)
+
+
+def test_piratenet_uses_pallas_path(monkeypatch):
+    """PirateNet.forward_jet must route blocks through fused_jet_segment when
+    the pallas path is on, and match the pure path bit-for-tolerance."""
+    from paddlescience_tpu.arch.mlp import PirateNet
+    from paddlescience_tpu.nn.core import Param, Rngs
+
+    m = PirateNet(("t", "x"), ("u",), num_blocks=2, hidden_size=16,
+                  fourier={"dim": 16, "scale": 1.0}, rngs=Rngs(3))
+    for b in m.blocks:
+        b.alpha = Param(jnp.asarray([0.3]))
+    assert m._use_jet_pallas()
+
+    idx = jetmod.build_index([(0,), (1, 1)])
+    x = jax.random.normal(jax.random.PRNGKey(1), (40, 2)) * 0.5
+
+    calls = []
+    orig = jp.fused_jet_segment
+
+    def spy(spec, ws, *carries):
+        calls.append(spec.name)
+        return orig(spec, ws, *carries)
+
+    monkeypatch.setattr(jp, "fused_jet_segment", spy)
+    jout = m.forward_jet(jetmod.seed(x, idx))
+    assert calls == ["piratenet_block", "piratenet_block"]
+
+    monkeypatch.setenv("PSCI_JET_PALLAS", "0")
+    ref = m.forward_jet(jetmod.seed(x, idx))
+    for a, b in zip(jout.streams, ref.streams):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
