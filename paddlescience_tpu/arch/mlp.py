@@ -200,6 +200,18 @@ def _piratenet_block_ws(block):
     return (w1, b1, w2, b2, w3, b3, block.alpha)
 
 
+def _piratenet_blocks_fn(act_triples):
+    """Segment function for a GROUP of consecutive PirateNet blocks — fewer
+    kernel launches and 1/group the boundary-jet HBM traffic."""
+
+    def fn(ws, y, u, v):
+        for acts, w in zip(act_triples, ws):
+            (y,) = _piratenet_block_fn(*acts)(w, y, u, v)
+        return (y,)
+
+    return fn
+
+
 def _mlp_segment_fn(acts, gated: bool):
     """Segment function for ``len(acts)`` consecutive MLP layers
     (linear + activation [+ two-stream gate for ModifiedMLP])."""
@@ -402,7 +414,14 @@ class MLP(base.Arch):
 
     def forward_jet(self, jx: "jet.Jet") -> "jet.Jet":
         jx = _jet_embed(self, jx)
-        if not self.skip_connection and _jet_pallas_ok(self, self.acts, self.linears):
+        # plain MLPs are shallow enough that XLA's fusion of the pure jet
+        # path already wins; the Pallas segments pay off on the deep gated
+        # stacks (ModifiedMLP / PirateNet). Opt in with PSCI_JET_PALLAS_MLP=1.
+        if (
+            not self.skip_connection
+            and os.environ.get("PSCI_JET_PALLAS_MLP", "0") == "1"
+            and _jet_pallas_ok(self, self.acts, self.linears)
+        ):
             jx = _jet_pallas_segments(self, jx, self.linears, self.acts, gated=False)
             return _jet_linear(self.last_fc, jx)
         skip = None
@@ -652,15 +671,18 @@ class PirateNet(base.Arch):
         v = jet.elementwise(_jet_linear(self.embed_v, jx), self.embed_act_v)
         y = jx
         if self._use_jet_pallas():
-            # each residual block is one fused Pallas kernel: 3 matmuls +
-            # gates + jet chain rules stay in VMEM; only the block-boundary
-            # jet streams touch HBM, and the Pallas backward rematerializes
-            # block internals per batch tile (ops/jet_pallas.py)
+            # groups of residual blocks run as one fused Pallas kernel:
+            # matmuls + gates + jet chain rules stay in VMEM; only the
+            # group-boundary jet streams touch HBM, and the Pallas backward
+            # rematerializes group internals per batch tile (ops/jet_pallas.py)
             from paddlescience_tpu.ops import jet_pallas
 
-            for block in self.blocks:
-                spec = self._jet_block_spec(block, y.index)
-                y = jet_pallas.fused_jet_segment(spec, _piratenet_block_ws(block), y, u, v)
+            grp = int(os.environ.get("PSCI_JET_PBLOCK_GROUP", "3"))
+            for i in range(0, len(self.blocks), grp):
+                seg = self.blocks[i : i + grp]
+                spec = self._jet_block_spec((i, len(seg)), y.index, seg)
+                ws = tuple(_piratenet_block_ws(b) for b in seg)
+                y = jet_pallas.fused_jet_segment(spec, ws, y, u, v)
             return _jet_linear(self.last_fc, y)
         # pure-JAX fallback: rematerialize each block in the backward pass so
         # only boundary jets round-trip through HBM (opt out: PSCI_JET_REMAT=0)
@@ -689,19 +711,20 @@ class PirateNet(base.Arch):
             [l for b in self.blocks for l in (b.linear1, b.linear2, b.linear3)],
         )
 
-    def _jet_block_spec(self, block, index):
+    def _jet_block_spec(self, seg_key, index, seg_blocks):
         from paddlescience_tpu.ops import jet_pallas
 
         cache = getattr(self, "_jet_specs", None)
         if cache is None:
             cache = {}
             object.__setattr__(self, "_jet_specs", cache)
-        key = (id(block), index)
+        key = (seg_key, index)
         if key not in cache:
             bm = int(os.environ.get("PSCI_JET_BLOCK_M", "256"))
+            bm_bwd = int(os.environ.get("PSCI_JET_BLOCK_M_BWD", "64"))
             cache[key] = jet_pallas.SegmentSpec(
-                _piratenet_block_fn(block.act1, block.act2, block.act3),
-                index, n_in=3, n_out=1, block_m=bm,
+                _piratenet_blocks_fn(tuple((b.act1, b.act2, b.act3) for b in seg_blocks)),
+                index, n_in=3, n_out=1, block_m=bm, block_m_bwd=bm_bwd,
                 interpret=jet_pallas.interpret_forced(),
                 name="piratenet_block",
             )

@@ -11,8 +11,9 @@ synthesis.
 Real formats parsed (reference file:line):
   * Lorenz/Rossler/Cylinder  — HDF5 groups of (T, D) series, windowed with
     (block_size, stride)          (``ppsci/data/dataset/trphysx_dataset.py:107-119``)
-  * ENSO                     — sst (T, lat, lon) array in .h5/.npz/.npy
-    (simplified from the CMIP xarray layout, ``enso_dataset.py:115-150``)
+  * ENSO                     — real CMIP archive dir (CMIP_train.nc +
+    CMIP_label.nc: per-model year folding, 95E..330E lon selection,
+    ``enso_dataset.py:100-165``) or flat sst (T, lat, lon) array
   * MRMS                     — ``*_{yyyymmdd}.h5`` files with key "dataset"
     of shape (N, H, W)            (``mrms_dataset.py:37,116-129``)
   * SEVIR                    — the real multi-event layout:
@@ -354,10 +355,68 @@ class _FrameWindowDataset(_DictDataset):
         super().__init__({input_keys[0]: x}, label, _expand_weight(weight_dict, label), transforms)
 
 
+def _cmip_fold(d: np.ndarray, size: int = 36, stride: int = 12) -> np.ndarray:
+    """Stitch per-year 36-month windows back into one monthly series
+    (reference ``enso_dataset.py:fold``): (years, 36, ...) ->
+    (years*stride + size - stride, ...); overlaps overwrite (identical by
+    construction in CMIP)."""
+    y = d.shape[0]
+    out = np.empty(((y - 1) * stride + size,) + d.shape[2:], d.dtype)
+    for i in range(y):
+        out[i * stride : i * stride + size] = d[i]
+    return out
+
+
+def _read_cmip_dir(dir_path: str, cmip6_rows: int, years6: int, years5: int):
+    """Parse the real CMIP archive layout (reference
+    ``enso_dataset.py:129-165`` ``read_raw_data``): ``CMIP_train.nc`` with
+    ``sst (rows, 36, lat, lon)`` (+ a ``lon`` coordinate used to select
+    95E..330E) and ``CMIP_label.nc`` with ``nino (rows, 36)``. Rows are
+    year-windows grouped per climate model — the first ``cmip6_rows`` rows
+    are CMIP6 runs of ``years6`` years each, the rest CMIP5 runs of
+    ``years5`` years. Returns per-model monthly (T, lat, lon) sst series and
+    (T,) nino series (netCDF4/HDF5 files, read via h5py)."""
+    import h5py
+
+    with h5py.File(osp.join(dir_path, "CMIP_train.nc"), "r") as f:
+        sst = np.asarray(f["sst"], _F32)
+        lon_coord = np.asarray(f["lon"]) if "lon" in f else None
+    nino = None
+    lbl = osp.join(dir_path, "CMIP_label.nc")
+    if osp.exists(lbl):
+        with h5py.File(lbl, "r") as f:
+            nino = np.asarray(f["nino"], _F32)
+    if lon_coord is not None and lon_coord.shape[0] == sst.shape[-1]:
+        sel = np.logical_and(lon_coord >= 95, lon_coord <= 330)
+        sst = sst[..., sel]
+
+    def split(rows6, ypm6, ypm5, data):
+        groups = []
+        for block, ypm in (((data[:rows6]), ypm6), ((data[rows6:]), ypm5)):
+            if block.shape[0] == 0:
+                continue
+            if block.shape[0] % ypm:
+                raise ValueError(
+                    f"CMIP block of {block.shape[0]} year-rows is not divisible "
+                    f"by years-per-model {ypm}"
+                )
+            for m in range(block.shape[0] // ypm):
+                groups.append(_cmip_fold(block[m * ypm : (m + 1) * ypm]))
+        return groups
+
+    sst_series = split(cmip6_rows, years6, years5, sst)
+    nino_series = split(cmip6_rows, years6, years5, nino) if nino is not None else None
+    return sst_series, nino_series
+
+
 class ENSODataset(_FrameWindowDataset):
     """Sliding SST windows for ENSO forecasting (reference
-    ``enso_dataset.py:160-290``; real CMIP layout simplified to an ``sst``
-    (T, lat, lon) array in .npz/.npy/.h5)."""
+    ``enso_dataset.py:160-290``).
+
+    ``file_path`` may be the real CMIP archive DIRECTORY
+    (``CMIP_train.nc``/``CMIP_label.nc`` — per-model year folding, 95E..330E
+    longitude selection, windows never crossing model boundaries) or a flat
+    ``sst`` (T, lat, lon) array in .npz/.npy/.h5."""
 
     def __init__(
         self,
@@ -373,8 +432,16 @@ class ENSODataset(_FrameWindowDataset):
         weight_dict=None,
         transforms=None,
         synthetic: bool = False,
+        cmip6_rows: int = 2265,
+        years6: int = 151,
+        years5: int = 140,
     ):
         path = _require(file_path, synthetic)
+        if path is not None and osp.isdir(path):
+            frames, _ = _read_cmip_dir(path, cmip6_rows, years6, years5)
+            super().__init__(input_keys, label_keys, frames, in_len, out_len,
+                             stride, weight_dict, transforms)
+            return
         if path is not None:
             sst = _load_array(path, "sst")
         else:

@@ -75,12 +75,16 @@ class SegmentSpec:
     """
 
     def __init__(self, fn: Callable, index: "jetmod.JetIndex", n_in: int, n_out: int,
-                 block_m: int = 512, interpret: bool = False, name: str = "jet_seg"):
+                 block_m: int = 512, block_m_bwd: int = None, interpret: bool = False,
+                 name: str = "jet_seg"):
         self.fn = fn
         self.index = index
         self.n_in = n_in
         self.n_out = n_out
         self.block_m = block_m
+        # the backward kernel holds the segment's vjp residuals in VMEM —
+        # roughly 4x the forward working set — so it tiles the batch finer
+        self.block_m_bwd = block_m_bwd if block_m_bwd is not None else max(block_m // 4, 64)
         self.interpret = interpret
         self.name = name
 
@@ -116,34 +120,58 @@ def _streams_to_carries(streams, index, n):
     return tuple(out)
 
 
+def _trace_time_precision() -> str:
+    """Kernel bodies are traced at jit-lowering time, OUTSIDE the caller's
+    ``jax.default_matmul_precision`` context — so the active precision must be
+    captured HERE (fused_jet_segment runs inside the caller's trace) and
+    threaded through as a static argument. Mosaic's dot lowering accepts
+    DEFAULT and HIGHEST but not HIGH (the repo-wide default from
+    paddlescience_tpu/__init__.py): map accuracy-oriented settings to HIGHEST;
+    AMP-style contexts ("default") keep fast bf16 passes."""
+    import os
+
+    outer = None
+    try:
+        outer = jax.config.jax_default_matmul_precision
+    except Exception:
+        pass
+    if outer is None:
+        outer = os.environ.get("PSCI_MATMUL_PRECISION", "high")
+    return "default" if str(outer) in ("default", "bfloat16", "DEFAULT") else "highest"
+
+
 def fused_jet_segment(spec: SegmentSpec, ws, *carries: "jetmod.Jet"):
     """Run ``spec.fn(ws, *carries)`` as a fused Pallas kernel (forward) with a
     rematerializing Pallas backward. Returns the tuple of output Jets (or the
     single Jet when ``spec.n_out == 1``)."""
     ws_flat, treedef, orig_shapes = _flatten_ws(ws)
     in_streams = _carries_to_streams(carries)
-    out_streams = _call(spec, treedef, orig_shapes, tuple(ws_flat), tuple(in_streams))
+    out_streams = _call(
+        spec, treedef, orig_shapes, _trace_time_precision(),
+        tuple(ws_flat), tuple(in_streams),
+    )
     outs = _streams_to_carries(out_streams, spec.index, spec.n_out)
     return outs[0] if spec.n_out == 1 else outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _call(spec, treedef, orig_shapes, ws_flat, in_streams):
-    return _forward(spec, treedef, orig_shapes, ws_flat, in_streams)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _call(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
+    return _forward(spec, treedef, orig_shapes, precision, ws_flat, in_streams)
 
 
-def _apply_fn(spec, treedef, orig_shapes, ws_arrays, stream_arrays):
+def _apply_fn(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays):
     ws = _unflatten_ws(treedef, orig_shapes, ws_arrays)
     carries = _streams_to_carries(stream_arrays, spec.index, spec.n_in)
-    outs = spec.fn(ws, *carries)
+    with jax.default_matmul_precision(precision):
+        outs = spec.fn(ws, *carries)
     if isinstance(outs, jetmod.Jet):
         outs = (outs,)
     return _carries_to_streams(outs)
 
 
-def _out_struct(spec, treedef, orig_shapes, ws_flat, in_streams):
+def _out_struct(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
     return jax.eval_shape(
-        lambda w, s: _apply_fn(spec, treedef, orig_shapes, w, s), ws_flat, in_streams
+        lambda w, s: _apply_fn(spec, treedef, orig_shapes, precision, w, s), ws_flat, in_streams
     )
 
 
@@ -179,12 +207,12 @@ def _count_jaxpr_cost(closed_jaxpr):
     return flops, transc
 
 
-def _segment_cost(spec, treedef, orig_shapes, ws_flat, in_streams, backward=False):
+def _segment_cost(spec, treedef, orig_shapes, precision, ws_flat, in_streams, backward=False):
     """CostEstimate for one pallas_call over the WHOLE padded batch."""
     import jax.numpy as _jnp
 
     def f(w, s):
-        return _apply_fn(spec, treedef, orig_shapes, w, s)
+        return _apply_fn(spec, treedef, orig_shapes, precision, w, s)
 
     try:
         if backward:
@@ -212,12 +240,12 @@ def _pad_streams(streams, bm):
     return streams, n
 
 
-def _forward(spec, treedef, orig_shapes, ws_flat, in_streams):
+def _forward(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
     pl, pltpu = _pl()
     in_streams, n = _pad_streams(in_streams, spec.block_m)
     npad = in_streams[0].shape[0]
     grid = (npad // spec.block_m,)
-    out_shapes = _out_struct(spec, treedef, orig_shapes, ws_flat, in_streams)
+    out_shapes = _out_struct(spec, treedef, orig_shapes, precision, ws_flat, in_streams)
     n_w, n_s = len(ws_flat), len(in_streams)
 
     def kernel(*refs):
@@ -225,7 +253,7 @@ def _forward(spec, treedef, orig_shapes, ws_flat, in_streams):
         s_refs = refs[n_w : n_w + n_s]
         o_refs = refs[n_w + n_s :]
         outs = _apply_fn(
-            spec, treedef, orig_shapes,
+            spec, treedef, orig_shapes, precision,
             [r[:] for r in w_refs], [r[:] for r in s_refs],
         )
         for r, o in zip(o_refs, outs):
@@ -246,24 +274,25 @@ def _forward(spec, treedef, orig_shapes, ws_flat, in_streams):
         out_shape=[jax.ShapeDtypeStruct((npad, o.shape[1]), o.dtype) for o in out_shapes],
         in_specs=w_specs + s_specs,
         out_specs=o_specs,
-        cost_estimate=_segment_cost(spec, treedef, orig_shapes, ws_flat, in_streams),
+        cost_estimate=_segment_cost(spec, treedef, orig_shapes, precision, ws_flat, in_streams),
         interpret=spec.interpret,
     )(*ws_flat, *in_streams)
     return tuple(o[:n] for o in outs)
 
 
-def _fwd(spec, treedef, orig_shapes, ws_flat, in_streams):
-    outs = _forward(spec, treedef, orig_shapes, ws_flat, in_streams)
+def _fwd(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
+    outs = _forward(spec, treedef, orig_shapes, precision, ws_flat, in_streams)
     return outs, (ws_flat, in_streams)
 
 
-def _bwd(spec, treedef, orig_shapes, res, g_outs):
+def _bwd(spec, treedef, orig_shapes, precision, res, g_outs):
     pl, pltpu = _pl()
     ws_flat, in_streams = res
-    in_streams_p, n = _pad_streams(in_streams, spec.block_m)
-    g_outs_p, _ = _pad_streams(tuple(g_outs), spec.block_m)
+    bm = spec.block_m_bwd
+    in_streams_p, n = _pad_streams(in_streams, bm)
+    g_outs_p, _ = _pad_streams(tuple(g_outs), bm)
     npad = in_streams_p[0].shape[0]
-    grid = (npad // spec.block_m,)
+    grid = (npad // bm,)
     n_w, n_s, n_g = len(ws_flat), len(in_streams_p), len(g_outs_p)
 
     def kernel(*refs):
@@ -277,7 +306,7 @@ def _bwd(spec, treedef, orig_shapes, res, g_outs):
         gs = tuple(r[:] for r in g_refs)
 
         def f(w_arrays, s_arrays):
-            return _apply_fn(spec, treedef, orig_shapes, w_arrays, s_arrays)
+            return _apply_fn(spec, treedef, orig_shapes, precision, w_arrays, s_arrays)
 
         _, vjp_fn = jax.vjp(f, ws, ss)
         dws, dss = vjp_fn(gs)
@@ -298,16 +327,16 @@ def _bwd(spec, treedef, orig_shapes, res, g_outs):
 
     w_specs = [pl.BlockSpec(w.shape, (lambda *_: (0,) * w.ndim), memory_space=pltpu.VMEM) for w in ws_flat]
     s_specs = [
-        pl.BlockSpec((spec.block_m, s.shape[1]), (lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        pl.BlockSpec((bm, s.shape[1]), (lambda i: (i, 0)), memory_space=pltpu.VMEM)
         for s in in_streams_p
     ]
     g_specs = [
-        pl.BlockSpec((spec.block_m, g.shape[1]), (lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        pl.BlockSpec((bm, g.shape[1]), (lambda i: (i, 0)), memory_space=pltpu.VMEM)
         for g in g_outs_p
     ]
     dw_specs = [pl.BlockSpec(w.shape, (lambda *_: (0,) * w.ndim), memory_space=pltpu.VMEM) for w in ws_flat]
     ds_specs = [
-        pl.BlockSpec((spec.block_m, s.shape[1]), (lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        pl.BlockSpec((bm, s.shape[1]), (lambda i: (i, 0)), memory_space=pltpu.VMEM)
         for s in in_streams_p
     ]
     outs = pl.pallas_call(
@@ -319,7 +348,7 @@ def _bwd(spec, treedef, orig_shapes, res, g_outs):
         ),
         in_specs=w_specs + s_specs + g_specs,
         out_specs=dw_specs + ds_specs,
-        cost_estimate=_segment_cost(spec, treedef, orig_shapes, ws_flat, in_streams_p, backward=True),
+        cost_estimate=_segment_cost(spec, treedef, orig_shapes, precision, ws_flat, in_streams_p, backward=True),
         interpret=spec.interpret,
     )(*ws_flat, *in_streams_p, *g_outs_p)
     dws = tuple(outs[:n_w])

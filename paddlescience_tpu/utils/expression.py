@@ -224,7 +224,13 @@ def forward_with_derivatives(
             # layer) instead of per-component nested-jvp chains. Only valid
             # when every model input is a differentiable coordinate column.
             jet_fn = None
-            if not extra_keys and getattr(model, "supports_jet", lambda: False)():
+            import os as _os
+
+            if (
+                _os.environ.get("PSCI_JET", "1") == "1"
+                and not extra_keys
+                and getattr(model, "supports_jet", lambda: False)()
+            ):
                 def jet_fn(xb, dmultis, _model=model):
                     from paddlescience_tpu.autodiff import jet as jetmod
 

@@ -123,3 +123,47 @@ def test_batch_transforms_and_collate():
     cin, clab, cwgt = data_mod.default_collate_fn(samples)
     assert cin["x"].shape == (3,)
     np.testing.assert_allclose(clab["y"], [0, 2, 4])
+
+
+def test_enso_real_cmip_dir_layout(tmp_path):
+    """Real CMIP archive parsing (reference enso_dataset.py:100-165): lon
+    selection, per-model fold, windows never crossing model boundaries."""
+    import h5py
+    import numpy as np
+
+    from paddlescience_tpu.data.dataset.domain_dataset import ENSODataset, _cmip_fold
+
+    lat, nlon = 4, 6
+    lon = np.array([80.0, 100.0, 150.0, 200.0, 300.0, 340.0])  # 4 in [95,330]
+    # 2 cmip6 rows (1 model x 2 years) + 2 cmip5 rows (1 model x 2 years);
+    # consecutive year-windows overlap by 24 months with identical values
+    def model_series(base, years):
+        T = (years - 1) * 12 + 36
+        series = base + np.arange(T, dtype=np.float32)[:, None, None] * np.ones(
+            (lat, nlon), np.float32
+        )
+        return np.stack([series[i * 12 : i * 12 + 36] for i in range(years)])
+
+    sst = np.concatenate([model_series(0.0, 2), model_series(1000.0, 2)])
+    with h5py.File(tmp_path / "CMIP_train.nc", "w") as f:
+        f["sst"] = sst
+        f["lon"] = lon
+    with h5py.File(tmp_path / "CMIP_label.nc", "w") as f:
+        f["nino"] = sst[..., 0, 0]
+
+    ds = ENSODataset(
+        ("sst",), ("sst_target",), file_path=str(tmp_path),
+        in_len=12, out_len=12, stride=12,
+        cmip6_rows=2, years6=2, years5=2,
+    )
+    x = ds.input["sst"]
+    assert x.shape[-3:] == (lat, 4, 1)  # lon selected 6 -> 4
+    # each model series is 48 months; windows of 24 with stride 12 -> 3/model
+    assert x.shape[0] == 6
+    # no window mixes the base-0 and base-1000 models
+    for w in x[..., 0]:
+        assert (w < 500).all() or (w > 500).all()
+    # folding reconstructs the monthly series exactly
+    folded = _cmip_fold(model_series(0.0, 2))
+    assert folded.shape[0] == 48
+    np.testing.assert_array_equal(folded[12:36], model_series(0.0, 2)[1][:24])

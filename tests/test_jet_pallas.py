@@ -119,7 +119,7 @@ def test_piratenet_uses_pallas_path(monkeypatch):
 
     monkeypatch.setattr(jp, "fused_jet_segment", spy)
     jout = m.forward_jet(jetmod.seed(x, idx))
-    assert calls == ["piratenet_block", "piratenet_block"]
+    assert calls == ["piratenet_block"]  # 2 blocks fit one group-of-3 segment
 
     monkeypatch.setenv("PSCI_JET_PALLAS", "0")
     ref = m.forward_jet(jetmod.seed(x, idx))
