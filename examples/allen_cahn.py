@@ -94,7 +94,31 @@ def build_solver(
     gamma: float = 0.9,
     decay_steps: int = 2000,
     checkpoint_path: str = None,
+    fourier_scale: float = None,  # None = arch default (mlp 1.0, piratenet 2.0)
+    rwf_mean: float = None,  # None = arch default (mlp 0.5, piratenet 1.0)
+    rwf_std: float = 0.1,
+    loss: str = "causal",
+    aggregator: str = "gradnorm",
+    eval_freq: int = 10,
 ):
+    """Variant knobs cover the whole reference script family
+    (``/root/reference/examples/allen_cahn/``):
+
+    ============  ============  =============  ==========  ===========
+    variant       arch          fourier_scale  loss        aggregator
+    ============  ============  =============  ==========  ===========
+    default       mlp           1.0            causal      gradnorm
+    causal        mlp           1.0            causal      sum
+    plain         mlp           1.0            mse         sum
+    default_ntk   mlp           2.0            causal      ntk
+    sota          modified_mlp  2.0            causal      ntk
+    piratenet     piratenet     2.0            causal      gradnorm
+    ============  ============  =============  ==========  ===========
+
+    (The reference's ntk/sota scripts pass ``AllenCahn(0.01**2)`` — with its
+    eps**2 residual that sets the interfacial coefficient to 1e-8 instead of
+    the problem's 1e-4; we keep eps=0.01 for all variants.)
+    """
     import jax
     import jax.numpy as jnp
 
@@ -105,6 +129,12 @@ def build_solver(
 
     psci.utils.set_random_seed(seed)
 
+    if fourier_scale is None:
+        fourier_scale = 2.0 if arch in ("piratenet", "modified_mlp") else 1.0
+    if rwf_mean is None:
+        rwf_mean = 1.0 if arch in ("piratenet", "modified_mlp") else 0.5
+    fourier = {"dim": 256, "scale": fourier_scale} if fourier_scale > 0 else None
+    rwf = {"mean": rwf_mean, "std": rwf_std} if rwf_mean > 0 else None
     # model per reference conf/allen_cahn_default.yaml MODEL section;
     # arch="piratenet" follows conf/allen_cahn_piratenet.yaml (3 blocks x 256)
     if arch == "piratenet":
@@ -115,19 +145,20 @@ def build_solver(
             hidden_size=256,
             activation="tanh",
             periods={"x": (2.0, False)},
-            fourier={"dim": 256, "scale": 2.0},
-            random_weight={"mean": 1.0, "std": 0.1},
+            fourier=fourier,
+            random_weight=rwf,
         )
     else:
-        model = psci.arch.MLP(
+        cls = psci.arch.ModifiedMLP if arch == "modified_mlp" else psci.arch.MLP
+        model = cls(
             ("t", "x"),
             ("u",),
             num_layers=4,
             hidden_size=256,
             activation="tanh",
             periods={"x": (2.0, False)},
-            fourier={"dim": 256, "scale": 1.0},
-            random_weight={"mean": 0.5, "std": 0.1},
+            fourier=fourier,
+            random_weight=rwf,
         )
 
     equation = {"AllenCahn": psci.equation.AllenCahn(eps=0.01)}
@@ -145,7 +176,12 @@ def build_solver(
         x = jax.random.uniform(kx, (batch_size, 1), minval=x0, maxval=x1)
         return {"t": t, "x": x}, {"allen_cahn": jnp.zeros((batch_size, 1))}, {}
 
-    pde = Constraint(DeviceSampledDataset(sample_fn), None, psci.loss.CausalMSELoss(32, "mean", tol=1.0), "PDE")
+    pde_loss = (
+        psci.loss.CausalMSELoss(32, "mean", tol=1.0)
+        if loss == "causal"
+        else psci.loss.MSELoss("mean")
+    )
+    pde = Constraint(DeviceSampledDataset(sample_fn), None, pde_loss, "PDE")
     pde.output_expr = equation["AllenCahn"].equations
 
     ic = psci.constraint.SupervisedConstraint(
@@ -196,10 +232,14 @@ def build_solver(
         epochs=epochs,
         iters_per_epoch=iters_per_epoch,
         eval_during_train=eval_during_train,
-        eval_freq=10,
+        eval_freq=eval_freq,
         validator=validator,
         equation=equation,
-        loss_aggregator=mtl.GradNorm(model, len(constraint), 1000, 0.9),
+        loss_aggregator={
+            "gradnorm": lambda: mtl.GradNorm(model, len(constraint), 1000, 0.9),
+            "ntk": lambda: mtl.NTK(model, len(constraint), 1000),
+            "sum": lambda: mtl.Sum(model, len(constraint)),
+        }[aggregator](),
         log_freq=100,
         seed=seed,
         checkpoint_path=checkpoint_path,
@@ -223,6 +263,12 @@ def _solver_from_cfg(cfg, **overrides):
         gamma=cfg.TRAIN.get("gamma", 0.9),
         decay_steps=cfg.TRAIN.get("decay_steps", 2000),
         checkpoint_path=cfg.TRAIN.get("checkpoint_path", None),
+        fourier_scale=cfg.MODEL.get("fourier_scale", None),
+        rwf_mean=cfg.MODEL.get("rwf_mean", None),
+        rwf_std=cfg.MODEL.get("rwf_std", 0.1),
+        loss=cfg.TRAIN.get("loss", "causal"),
+        aggregator=cfg.TRAIN.get("aggregator", "gradnorm"),
+        eval_freq=cfg.TRAIN.get("eval_freq", 10),
     )
     kw.update(overrides)
     return build_solver(**kw)

@@ -1,18 +1,22 @@
-"""DeepHPMs: deep hidden physics models on Burgers (reference
-``examples/deephpms/burgers.py``; KdV/KS/NS/Schrodinger variants share the
-same three-stage recipe).
+"""DeepHPMs: deep hidden physics models on 1-D evolution PDEs (reference
+``examples/deephpms/burgers.py`` / ``korteweg_de_vries.py`` /
+``kuramoto_sivashinsky.py`` — one parametric family here, selected by
+``pde=burgers|kdv|ks``).
 
 Three MLPs: idn_net fits u(t,x) from data; pde_net learns the hidden
-operator N(u, u_x, u_xx) such that u_t = N(...); sol_net solves the learned
-PDE on a second dataset with periodic BCs. The reference's derivative-taking
-input transform (``burgers.py:84-90``) is written TPU-natively here: feature
-derivatives u_x, u_xx come from nested ``jax.jvp`` on the idn/sol net —
-valid batched or per-point, so the whole composed model traces into one XLA
-program at every stage.
+operator N(u, u_x, ..., u_x^(p)) such that u_t = N(...); sol_net solves the
+learned PDE on a second dataset with periodic BCs. The reference's
+derivative-taking input transform (``burgers.py:84-90``,
+``korteweg_de_vries.py:27-40`` to third order,
+``kuramoto_sivashinsky.py`` to fourth) is written TPU-natively: feature
+derivatives come from nested ``jax.jvp`` on the idn/sol net — valid batched
+or per-point, so the whole composed model traces into one XLA program at
+every stage.
 
 Data: ``dataset_path``/``dataset_sol_path`` .mat files (t_train/x_train/
-u_train/t_star/x_star/u_star); when absent, a spectral (FFT + RK4) viscous
-Burgers solver generates the same layout.
+u_train/t_star/x_star/u_star); when absent, a spectral solver generates the
+same layout (FFT + RK4 for Burgers; ETDRK4, Kassam & Trefethen 2005, for the
+stiff dispersive KdV / KS operators).
 """
 
 from __future__ import annotations
@@ -27,6 +31,68 @@ from paddlescience_tpu.autodiff import ad, jacobian
 T_LB, T_UB = 0.0, 10.0
 X_LB, X_UB = -8.0, 8.0
 NU = 0.1
+
+# family table (reference conf/{burgers,korteweg_de_vries,kuramoto_sivashinsky}.yaml
+# T_LB/T_UB/X_LB/X_UB rows; orders from each conf's MODEL.pde_net.input_keys):
+#   u_t = lin(d/dx) u + N(u),  N(u) = -u u_x  for all three
+PDES = {
+    "burgers": dict(t=(0.0, 10.0), x=(-8.0, 8.0), order=2,
+                    lin=lambda k: -NU * k**2, dt=None),
+    "kdv": dict(t=(0.0, 40.0), x=(-20.0, 20.0), order=3,
+                lin=lambda k: 1j * k**3, dt=1e-3),
+    "ks": dict(t=(0.0, 50.0), x=(-10.0, 10.0), order=4,
+               lin=lambda k: k**2 - k**4, dt=2.5e-3),
+}
+
+
+def spectral_etdrk4(pde: str, nx=256, nt=201, seed=0, amp=1.0):
+    """Generic periodic 1-D spectral solve of u_t = lin u - u u_x via ETDRK4
+    (complex contour — KdV's dispersive lin is imaginary)."""
+    spec = PDES[pde]
+    (t0, t1), (x0, x1) = spec["t"], spec["x"]
+    L = x1 - x0
+    rng = np.random.default_rng(seed)
+    x = np.linspace(x0, x1, nx, endpoint=False)
+    k = 2 * np.pi * np.fft.fftfreq(nx, d=L / nx)
+    u = -amp * np.sin(2 * np.pi * (x - x0) / L) + 0.1 * rng.standard_normal() * np.cos(
+        4 * np.pi * (x - x0) / L)
+
+    lin = spec["lin"](k).astype(np.complex128)
+    dt = spec["dt"]
+    steps_total = int(round((t1 - t0) / dt))
+    save_every = max(steps_total // (nt - 1), 1)
+
+    E = np.exp(dt * lin)
+    E2 = np.exp(dt * lin / 2)
+    M = 32
+    r = np.exp(2j * np.pi * (np.arange(1, M + 1) - 0.5) / M)  # full circle: lin may be complex
+    LR = dt * lin[:, None] + r[None, :]
+    Q = dt * np.mean((np.exp(LR / 2) - 1) / LR, axis=1)
+    f1 = dt * np.mean((-4 - LR + np.exp(LR) * (4 - 3 * LR + LR**2)) / LR**3, axis=1)
+    f2 = dt * np.mean((2 + LR + np.exp(LR) * (-2 + LR)) / LR**3, axis=1)
+    f3 = dt * np.mean((-4 - 3 * LR - LR**2 + np.exp(LR) * (4 - LR)) / LR**3, axis=1)
+
+    def N_of(v_hat):
+        uu = np.real(np.fft.ifft(v_hat))
+        return -0.5j * k * np.fft.fft(uu * uu)  # -u u_x = -(u^2/2)_x
+
+    v = np.fft.fft(u)
+    out = [u.copy()]
+    for step in range(1, steps_total + 1):
+        Nv = N_of(v)
+        a = E2 * v + Q * Nv
+        Na = N_of(a)
+        b = E2 * v + Q * Na
+        Nb = N_of(b)
+        c = E2 * a + Q * (2 * Nb - Nv)
+        Nc = N_of(c)
+        v = E * v + Nv * f1 + 2 * (Na + Nb) * f2 + Nc * f3
+        if step % save_every == 0 and len(out) < nt:
+            out.append(np.real(np.fft.ifft(v)))
+    while len(out) < nt:
+        out.append(out[-1])
+    ts = np.linspace(t0, t1, nt)
+    return ts, x, np.stack(out)
 
 
 def spectral_burgers(nx=256, nt=201, nu=NU, seed=0, amp=1.0):
@@ -71,50 +137,82 @@ def _flatten(ts, x, U, n_train, rng):
                 t_star=t_star, x_star=x_star, u_star=u_star)
 
 
-def load_data(path, seed, n_train=10000):
+def load_data(path, seed, n_train=10000, pde="burgers"):
     if path and osp.exists(path):
         from paddlescience_tpu.utils import reader
 
         return reader.load_mat_file(path, keys=None)
     rng = np.random.default_rng(seed)
-    ts, x, U = spectral_burgers(seed=seed, amp=1.0 + 0.2 * seed)
+    if pde == "burgers":
+        ts, x, U = spectral_burgers(seed=seed, amp=1.0 + 0.2 * seed)
+    else:
+        ts, x, U = spectral_etdrk4(pde, seed=seed, amp=1.0 + 0.2 * seed)
     return _flatten(ts, x, U, n_train, rng)
 
 
-def _norm_t(t):
-    return 2.0 * (t - T_LB) / (T_UB - T_LB) - 1.0
+def _normalizers(pde):
+    (t_lb, t_ub), (x_lb, x_ub) = PDES[pde]["t"], PDES[pde]["x"]
+
+    def norm_t(t):
+        return 2.0 * (t - t_lb) / (t_ub - t_lb) - 1.0
+
+    def norm_x(x):
+        return 2.0 * (x - x_lb) / (x_ub - x_lb) - 1.0
+
+    return norm_t, norm_x
 
 
-def _norm_x(x):
-    return 2.0 * (x - X_LB) / (X_UB - X_LB) - 1.0
+def _deriv_keys(order):
+    """pde_net feature names per reference conf MODEL.pde_net.input_keys:
+    u itself rides under "u_x" [sic], then du_x, du_xx, ..."""
+    return ["u_x"] + ["du_" + "x" * j for j in range(1, order + 1)]
 
 
-def make_transform_u():
+def make_transform_u(pde="burgers"):
+    norm_t, norm_x = _normalizers(pde)
+
     def transform_u(in_):
-        return {"t": _norm_t(in_["t"]), "x": _norm_x(in_["x"])}
+        return {"t": norm_t(in_["t"]), "x": norm_x(in_["x"])}
 
     return transform_u
 
 
-def make_transform_f(u_model):
-    """(t, x) -> (u, u_x, u_xx) of `u_model` via nested jvp (TPU-native
-    version of reference burgers.py:84-90)."""
+def make_transform_f(u_model, pde="burgers"):
+    """(t, x) -> (u, u_x, ..., u_x^(order)) of `u_model` via nested jvp
+    (TPU-native version of reference burgers.py:84-90 at order 2,
+    korteweg_de_vries.py at 3, kuramoto_sivashinsky.py at 4)."""
     import jax
     import jax.numpy as jnp
+
+    order = PDES[pde]["order"]
+    norm_t, norm_x = _normalizers(pde)
 
     def transform_f(in_):
         t, x = ad.unwrap(in_["t"]), ad.unwrap(in_["x"])
         key = u_model.output_keys[0]
 
         def u_of_x(xx):
-            return u_model({"t": _norm_t(t), "x": _norm_x(xx)})[key]
+            return u_model({"t": norm_t(t), "x": norm_x(xx)})[key]
 
         ones = jnp.ones_like(x)
-        u, du_x = jax.jvp(u_of_x, (x,), (ones,))
-        _, du_xx = jax.jvp(lambda xx: jax.jvp(u_of_x, (xx,), (ones,))[1], (x,), (ones,))
-        return {"u_x": u, "du_x": du_x, "du_xx": du_xx}
+        keys = _deriv_keys(order)
+        out = {}
+        fn = u_of_x
+        val, d = jax.jvp(fn, (x,), (ones,))
+        out[keys[0]], out[keys[1]] = val, d
+        for j in range(2, order + 1):
+            fn = (lambda f: lambda xx: jax.jvp(f, (xx,), (ones,))[1])(fn)
+            _, d = jax.jvp(fn, (x,), (ones,))
+            out[keys[j]] = d
+        return out
 
     return transform_f
+
+
+def _nth_jac(u, x, n):
+    for _ in range(n):
+        u = jacobian(u, x)
+    return u
 
 
 def _pde_loss(out, *args):
@@ -130,11 +228,16 @@ def _pde_l2(out, *args):
 
 
 def _boundary_loss(out, *args):
+    """Periodic matching of u and every provided boundary derivative
+    (reference korteweg_de_vries.py:47-57 matches u, u_x, u_xx at order 3)."""
     import jax.numpy as jnp
 
-    u_b, du_x = out["u_sol"], out["du_x_sol"]
-    n = u_b.shape[0] // 2
-    return {"boundary": jnp.sum((u_b[:n] - u_b[n:]) ** 2) + jnp.sum((du_x[:n] - du_x[n:]) ** 2)}
+    total = 0.0
+    for k, v in out.items():
+        if k == "u_sol" or k.startswith("du_"):
+            n = v.shape[0] // 2
+            total = total + jnp.sum((v[:n] - v[n:]) ** 2)
+    return {"boundary": total}
 
 
 def _mat_cfg(data, in_map, lab_map):
@@ -148,19 +251,21 @@ def _mat_cfg(data, in_map, lab_map):
 
 
 def run(cfg=None, epochs=(60, 60, 60), iters_per_epoch=1, lr=1e-3,
-        output_dir="./outputs_deephpms", dataset_path=None, dataset_sol_path=None):
+        output_dir="./outputs_deephpms", dataset_path=None, dataset_sol_path=None,
+        pde="burgers"):
     psci.utils.set_random_seed(42)
-    data_idn = load_data(dataset_path, seed=0)
-    data_sol = load_data(dataset_sol_path, seed=1)
+    order = PDES[pde]["order"]
+    data_idn = load_data(dataset_path, seed=0, pde=pde)
+    data_sol = load_data(dataset_sol_path, seed=1, pde=pde)
 
     model_idn = psci.arch.MLP(("t", "x"), ("u_idn",), 4, 50, activation="sin")
-    model_pde = psci.arch.MLP(("u_x", "du_x", "du_xx"), ("f_pde",), 2, 100, activation="sin",
+    model_pde = psci.arch.MLP(tuple(_deriv_keys(order)), ("f_pde",), 2, 100, activation="sin",
                               rngs=psci.nn.Rngs(1))
     model_sol = psci.arch.MLP(("t", "x"), ("u_sol",), 4, 50, activation="sin",
                               rngs=psci.nn.Rngs(2))
-    model_idn.register_input_transform(make_transform_u())
-    model_sol.register_input_transform(make_transform_u())
-    model_pde.register_input_transform(make_transform_f(model_idn))
+    model_idn.register_input_transform(make_transform_u(pde))
+    model_sol.register_input_transform(make_transform_u(pde))
+    model_pde.register_input_transform(make_transform_f(model_idn, pde))
 
     # ---- stage 1: identification net fits u(t,x) --------------------------
     sup1 = psci.constraint.SupervisedConstraint(
@@ -201,16 +306,17 @@ def run(cfg=None, epochs=(60, 60, 60), iters_per_epoch=1, lr=1e-3,
     print(f"stage2 pde L2Rel = {m2:.4e}")
 
     # ---- stage 3: solution net solves the learned PDE ----------------------
-    model_pde.register_input_transform(make_transform_f(model_sol))
+    model_pde.register_input_transform(make_transform_f(model_sol, pde))
     model_pde.freeze()
     model_list3 = psci.arch.ModelList((model_sol, model_pde))
     # periodic boundary pairs (x_lb stacked over x_ub)
+    (t_lb, t_ub), (x_lb, x_ub) = PDES[pde]["t"], PDES[pde]["x"]
     nt_b = 128
     rngb = np.random.default_rng(3)
-    t_b = rngb.uniform(T_LB, T_UB, (nt_b, 1)).astype("float32")
+    t_b = rngb.uniform(t_lb, t_ub, (nt_b, 1)).astype("float32")
     bc_input = {"t": np.concatenate([t_b, t_b]),
-                "x": np.concatenate([np.full((nt_b, 1), X_LB, "float32"),
-                                     np.full((nt_b, 1), X_UB, "float32")])}
+                "x": np.concatenate([np.full((nt_b, 1), x_lb, "float32"),
+                                     np.full((nt_b, 1), x_ub, "float32")])}
     sup3_pde = psci.constraint.SupervisedConstraint(
         _mat_cfg(data_sol, {"t": "t_train", "x": "x_train"}, {"du_t": "t_train"}),
         psci.loss.FunctionalLoss(_pde_loss),
@@ -224,7 +330,11 @@ def run(cfg=None, epochs=(60, 60, 60), iters_per_epoch=1, lr=1e-3,
          "sampler": {"name": "BatchSampler", "shuffle": False, "drop_last": False}},
         psci.loss.FunctionalLoss(_boundary_loss),
         {"u_sol": lambda out: ad.unwrap(out["u_sol"]),
-         "du_x_sol": lambda out: ad.unwrap(jacobian(out["u_sol"], out["x"]))},
+         # periodic matching of d^j u / dx^j, j=1..order-1 (reference
+         # korteweg_de_vries.py:47-57)
+         **{f"du_{'x' * j}_sol": (lambda j: lambda out: ad.unwrap(
+             _nth_jac(out["u_sol"], out["x"], j)))(j)
+            for j in range(1, order)}},
         name="b_mse_sup")
     sup3_ic = psci.constraint.SupervisedConstraint(
         _mat_cfg({**data_sol,
@@ -262,6 +372,7 @@ def main_cli():
                 output_dir=(c.get("output_dir") or "./outputs_deephpms"),
                 dataset_path=c.get_path("dataset_path"),
                 dataset_sol_path=c.get_path("dataset_sol_path"),
+                pde=c.get("pde", "burgers"),
             )
 
         return psci.utils.config.dispatch(cfg, train=train)
