@@ -1,5 +1,5 @@
-"""Darcy flow operator learning with TFNO
-(reference ``examples/neuraloperator/train_tfno.py``).
+"""Darcy flow operator learning with TFNO — or UNO via ``arch=uno``
+(reference ``examples/neuraloperator/train_tfno.py`` / ``train_uno.py``).
 
 Learns a -> u for -div(a grad u) = 1 on (0,1)^2. The dataset is generated
 by the built-in finite-difference Darcy solver (data/dataset/science_dataset)
@@ -13,7 +13,8 @@ import numpy as np
 import paddlescience_tpu as psci
 
 
-def build_solver(epochs=50, n_train=128, n_eval=32, resolution=32, output_dir="./output_darcy_tfno"):
+def build_solver(epochs=50, n_train=128, n_eval=32, resolution=32,
+                 output_dir="./output_darcy_tfno", arch="tfno"):
     psci.utils.set_random_seed(42)
     from paddlescience_tpu.data.dataset.science_dataset import generate_darcy_dataset
 
@@ -24,18 +25,30 @@ def build_solver(epochs=50, n_train=128, n_eval=32, resolution=32, output_dir=".
     a = (a - a_mean) / a_std
     u = u / u_scale
 
-    model = psci.arch.TFNO2dNet(
-        ("input",),
-        ("output",),
-        n_modes_height=12,
-        n_modes_width=12,
-        hidden_channels=32,
-        in_channels=1,
-        out_channels=1,
-        lifting_channels=64,
-        projection_channels=64,
-        n_layers=4,
-    )
+    if arch == "uno":
+        # reference train_uno.py MODEL config shape: contracting/expanding
+        # spectral stages with per-stage modes and scalings
+        model = psci.arch.UNONet(
+            ("input",), ("output",),
+            in_channels=1, out_channels=1, hidden_channels=32,
+            lifting_channels=64, projection_channels=64, n_layers=4,
+            uno_out_channels=(32, 64, 64, 32),
+            uno_n_modes=((12, 12), (8, 8), (8, 8), (12, 12)),
+            uno_scalings=((1.0, 1.0), (0.5, 0.5), (2.0, 2.0), (1.0, 1.0)),
+        )
+    else:
+        model = psci.arch.TFNO2dNet(
+            ("input",),
+            ("output",),
+            n_modes_height=12,
+            n_modes_width=12,
+            hidden_channels=32,
+            in_channels=1,
+            out_channels=1,
+            lifting_channels=64,
+            projection_channels=64,
+            n_layers=4,
+        )
     sup = psci.constraint.SupervisedConstraint(
         {
             "dataset": {

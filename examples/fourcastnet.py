@@ -40,32 +40,42 @@ def _make_synthetic_era5(path, T=40):
     return path
 
 
-def build_solver(epochs=4, output_dir="./output_fourcastnet", data_path="./dataset/era5_synth.h5"):
+def build_solver(epochs=4, output_dir="./output_fourcastnet", data_path="./dataset/era5_synth.h5",
+                 num_timestamps=1, pretrained_model_path=None):
+    """``num_timestamps > 1`` is the finetune stage (reference
+    ``train_finetune.py``): the AFNONet rolls out autoregressively and each
+    step is supervised against the t+i frame, warm-started from the
+    pretrain checkpoint."""
     psci.utils.set_random_seed(1024)
     if not os.path.exists(data_path):
         _make_synthetic_era5(data_path)
 
+    output_keys = tuple(f"output_{i}" for i in range(num_timestamps)) \
+        if num_timestamps > 1 else ("output",)
     model = psci.arch.AFNONet(
-        ("input",), ("output",),
+        ("input",), output_keys,
         img_size=(IMG_H, IMG_W), patch_size=(4, 4),
         in_channels=CHANNELS, out_channels=CHANNELS,
         embed_dim=64, depth=4, num_blocks=4,
+        num_timestamps=num_timestamps,
     )
 
     train_dl = {
         "dataset": {"name": "ERA5Dataset", "file_path": data_path,
-                    "input_keys": ("input",), "label_keys": ("output",), "size": 32},
+                    "input_keys": ("input",), "label_keys": output_keys,
+                    "num_label_timestamps": num_timestamps, "size": 32},
         "batch_size": 4,
         "sampler": {"name": "BatchSampler", "shuffle": True, "drop_last": True},
     }
+    expr = {k: (lambda kk: lambda out: out[kk])(k) for k in output_keys}
     sup = psci.constraint.SupervisedConstraint(
-        train_dl, psci.loss.L2RelLoss(), {"output": lambda out: out["output"]}, name="Sup"
+        train_dl, psci.loss.L2RelLoss(), expr, name="Sup"
     )
 
     eval_dl = dict(train_dl)
     eval_dl["sampler"] = {"name": "BatchSampler", "shuffle": False, "drop_last": False}
     validator = psci.validate.SupervisedValidator(
-        eval_dl, psci.loss.L2RelLoss(),
+        eval_dl, psci.loss.L2RelLoss(), expr,
         metric={"RMSE": psci.metric.RMSE(), "ACC": psci.metric.LatitudeWeightedACC(num_lat=IMG_H)},
         name="era5_valid",
     )
@@ -73,13 +83,16 @@ def build_solver(epochs=4, output_dir="./output_fourcastnet", data_path="./datas
     lr = psci.optimizer.lr_scheduler.Cosine(
         epochs=epochs, iters_per_epoch=8, learning_rate=5e-4, warmup_epoch=1
     )()
-    return psci.solver.Solver(
+    solver = psci.solver.Solver(
         model, {"Sup": sup}, output_dir,
         psci.optimizer.Adam(lr)(model),
         epochs=epochs, iters_per_epoch=8,
         validator={"era5_valid": validator},
         eval_during_train=False, log_freq=8,
     )
+    if pretrained_model_path:
+        solver.load_pretrain(pretrained_model_path)
+    return solver
 def main_cli():
     import paddlescience_tpu as psci
 

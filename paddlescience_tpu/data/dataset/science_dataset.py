@@ -23,6 +23,9 @@ __all__ = ["ERA5Dataset", "DarcyFlowDataset", "VtuDataset", "generate_darcy_data
 class ERA5Dataset(NamedArrayDataset):
     """Autoregressive weather windows from an HDF5 file of shape
     (T, C, H, W): input t -> label t+stride (FourCastNet training contract).
+    With ``num_label_timestamps=N > 1`` each of the N ``label_keys`` gets the
+    frame at t+(i+1)*stride — the finetune rollout contract (reference
+    ``era5_dataset.py`` num_label_timestamps / ``train_finetune.py:92``).
     """
 
     def __init__(
@@ -32,6 +35,7 @@ class ERA5Dataset(NamedArrayDataset):
         label_keys: Tuple[str, ...],
         size: Optional[int] = None,
         stride: int = 1,
+        num_label_timestamps: int = 1,
         vars_channel: Optional[Tuple[int, ...]] = None,
         hdf_key: str = "fields",
         transforms=None,
@@ -43,11 +47,17 @@ class ERA5Dataset(NamedArrayDataset):
             data = np.asarray(f[hdf_key])
         if vars_channel is not None:
             data = data[:, list(vars_channel)]
-        T = data.shape[0] - stride
+        if num_label_timestamps > 1 and len(label_keys) != num_label_timestamps:
+            raise ValueError(
+                f"need {num_label_timestamps} label_keys, got {len(label_keys)}")
+        T = data.shape[0] - stride * num_label_timestamps
         if size is not None:
             T = min(T, size)
         inputs = {input_keys[0]: data[:T].astype(np.float32)}
-        labels = {label_keys[0]: data[stride : T + stride].astype(np.float32)}
+        labels = {
+            key: data[stride * (i + 1) : T + stride * (i + 1)].astype(np.float32)
+            for i, key in enumerate(label_keys[:num_label_timestamps])
+        }
         super().__init__(inputs, labels, None, transforms)
         self.input_keys = tuple(input_keys)
         self.label_keys = tuple(label_keys)

@@ -39,6 +39,10 @@ PINS = os.path.join(ROOT, "tools", "example_gate_pins.json")
 _DEFAULT = ["TRAIN.epochs=2", "TRAIN.iters_per_epoch=4"]
 SMOKE_OVERRIDES = {
     "allen_cahn": ["TRAIN.epochs=1", "TRAIN.iters_per_epoch=50", "TRAIN.batch_size=512"],
+    "allen_cahn_plain": ["TRAIN.epochs=1", "TRAIN.iters_per_epoch=50", "TRAIN.batch_size=512"],
+    "allen_cahn_causal": ["TRAIN.epochs=1", "TRAIN.iters_per_epoch=50", "TRAIN.batch_size=512"],
+    "allen_cahn_ntk": ["TRAIN.epochs=1", "TRAIN.iters_per_epoch=50", "TRAIN.batch_size=512"],
+    "allen_cahn_sota": ["TRAIN.epochs=1", "TRAIN.iters_per_epoch=50", "TRAIN.batch_size=512"],
     "laplace2d": ["TRAIN.epochs=3", "TRAIN.iters_per_epoch=20"],
     "euler_beam": ["TRAIN.epochs=5", "TRAIN.iters_per_epoch=20"],
     "ldc2d_unsteady_Re10": ["TRAIN.epochs=2", "TRAIN.iters_per_epoch=1",
@@ -57,6 +61,16 @@ SMOKE_OVERRIDES = {
     "ldc_2d_Re1000_plain": ["Re=[100]", "epochs=[1]", "TRAIN.iters_per_epoch=4"],
     "spinn_helmholtz3d": ["TRAIN.epochs=1", "TRAIN.iters_per_epoch=10",
                           "TRAIN.nc=16", "TRAIN.nc_test=20"],
+    "deephpms_kdv": ["TRAIN.epochs_idn=2", "TRAIN.epochs_pde=2",
+                     "TRAIN.epochs_sol=2", "TRAIN.iters_per_epoch=2"],
+    "deephpms_ks": ["TRAIN.epochs_idn=2", "TRAIN.epochs_pde=2",
+                    "TRAIN.epochs_sol=2", "TRAIN.iters_per_epoch=2"],
+    "deephpms_schrodinger": ["TRAIN.epochs_idn=2", "TRAIN.epochs_pde=2",
+                             "TRAIN.epochs_sol=2", "TRAIN.iters_per_epoch=2"],
+    "earthformer_sevir": ["TRAIN.epochs=1"],
+    "fourcastnet_finetune": ["TRAIN.epochs=1"],
+    "moflow_optimize": ["TRAIN.train_steps=10", "TRAIN.fit_steps=30", "TRAIN.opt_steps=5"],
+    "darcy_uno": ["TRAIN.epochs=2", "TRAIN.n_train=32", "TRAIN.n_eval=16"],
 }
 # cases whose smoke run cannot complete in the time budget on CPU, or that
 # are driven by their own generator scripts — still required to IMPORT and
@@ -116,8 +130,9 @@ def main():
             pins = json.load(f)
 
     env = dict(os.environ)
-    env.update(JAX_PLATFORMS="", JAX_PLATFORM_NAME="cpu",
-               PYTHONPATH=ROOT + os.pathsep + env.get("PYTHONPATH", ""))
+    # CPU-only: drop the axon TPU site dir — its sitecustomize blocks import
+    # during tunnel outages and the gate never needs the device anyway
+    env.update(JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu", PYTHONPATH=ROOT)
     results, failures = {}, []
     for case in cases:
         if case in SKIP:
