@@ -1,5 +1,6 @@
-"""AMGNet flow-field prediction on airfoil meshes (reference
-``examples/amgnet/amgnet_airfoil.py``).
+"""AMGNet flow-field prediction on airfoil (or cylinder, ``case=cylinder``)
+meshes (reference ``examples/amgnet/amgnet_airfoil.py`` /
+``amgnet_cylinder.py``).
 
 Graph-to-field regression with the MeshGraphNet-style processor (the
 reference's pyamg multigrid coarsening is documented as unavailable — the
@@ -16,16 +17,18 @@ import numpy as np
 import paddlescience_tpu as psci
 
 
-def main(steps=40):
+def main(steps=40, case="airfoil"):
     import jax
     import jax.numpy as jnp
     import optax
 
     psci.utils.set_random_seed(0)
-    ds = psci.data.build_dataset({"name": "MeshAirfoilDataset",
+    ds_name = "MeshCylinderDataset" if case == "cylinder" else "MeshAirfoilDataset"
+    node_dim = 4 if case == "cylinder" else 5
+    ds = psci.data.build_dataset({"name": ds_name,
         "input_keys": ("input",), "label_keys": ("label",), "num_samples": 8})
-    model = psci.arch.AMGNet(("input",), ("pred",), node_in_dim=5, edge_in_dim=3,
-                             out_dim=3, hidden=64, n_layers=4)
+    model = psci.arch.AMGNet(("input",), ("pred",), node_in_dim=node_dim,
+                             edge_in_dim=3, out_dim=3, hidden=64, n_layers=4)
     params = model.param_tree()
     tx = optax.adam(1e-3)
     opt = tx.init(params)
@@ -58,7 +61,7 @@ def main(steps=40):
         if it == 0:
             first = float(loss)
         last = float(loss)
-    print(f"AMGNet airfoil: loss {first:.4f} -> {last:.4f} over {steps} steps")
+    print(f"AMGNet {case}: loss {first:.4f} -> {last:.4f} over {steps} steps")
     assert last < first
     return last
 def main_cli():
@@ -67,7 +70,7 @@ def main_cli():
     @psci.utils.config.main("conf/amgnet_airfoil.yaml")
     def _main(cfg):
         return psci.utils.config.dispatch(
-            cfg, train=lambda c: main(c.TRAIN.steps))
+            cfg, train=lambda c: main(c.TRAIN.steps, case=c.TRAIN.get("case", "airfoil")))
 
     return _main()
 

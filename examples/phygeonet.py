@@ -187,6 +187,99 @@ def evaluate_field(solver, data, ref=None):
     return ev
 
 
+# ---- parametric-BC variant (reference heat_equation_with_bc.py) -----------
+
+def _full_annulus_mesh(ny=19, nx=84, r_in=1.0, r_out=2.0):
+    """Full annulus: xi = angle (periodic), eta = radius; exact metric terms."""
+    h = H
+    xi = np.arange(nx) * h
+    eta = np.arange(ny) * h
+    theta = 2 * np.pi * xi / (xi[-1] + (xi[1] - xi[0]))  # endpoint excluded
+    r = r_in + (r_out - r_in) * eta / eta[-1]
+    R, TH = np.meshgrid(r, theta, indexing="ij")
+    x, y = R * np.cos(TH), R * np.sin(TH)
+    dth_dxi = (theta[1] - theta[0]) / (xi[1] - xi[0])
+    dr_deta = (r_out - r_in) / eta[-1]
+    dxdxi = -R * np.sin(TH) * dth_dxi
+    dydxi = R * np.cos(TH) * dth_dxi
+    dxdeta = np.cos(TH) * dr_deta
+    dydeta = np.sin(TH) * dr_deta
+    jinv = 1.0 / (dxdxi * dydeta - dxdeta * dydxi)
+    f32 = lambda a: a[None, None].astype("float32")
+    coords = np.concatenate([x[None, None], y[None, None]], 1).astype("float32")
+    return dict(coords=coords, jinvs=f32(jinv), dxdxis=f32(dxdxi), dydxis=f32(dydxi),
+                dxdetas=f32(dxdeta), dydetas=f32(dydeta))
+
+
+def build_solver_bc(epochs=1500, output_dir="./outputs_phygeonet_bc",
+                    learning_rate=1e-3, paras=(1, 2, 3, 4, 5, 6, 7),
+                    hidden=(16, 32, 16)):
+    """Parameterized-BC family (reference ``heat_equation_with_bc.py``): the
+    input image is the BC value broadcast over the grid (the reference feeds
+    ``paras`` under the "coords" key, nvar_in=1), the model learns T(r;para)
+    for para in 1..7 on a full annulus — inner edge T=para, outer T=0,
+    periodic in theta (the reference's row-wrap frame copies)."""
+    psci.utils.set_random_seed(42)
+    data = _full_annulus_mesh()
+    ny, nx = data["coords"].shape[-2:]
+    paras = np.asarray(paras, "float32")
+    para_imgs = np.ones((len(paras), 1, ny, nx), "float32") * paras[:, None, None, None]
+    model = psci.arch.USCNN(
+        ("para",), ("output_v",), hidden_size=list(hidden),
+        h=H, nx=nx, ny=ny, nvar_in=1, nvar_out=1, pad_singleside=PAD)
+
+    jinvs, dxdxis, dydxis = data["jinvs"], data["dxdxis"], data["dydxis"]
+    dxdetas, dydetas = data["dxdetas"], data["dydetas"]
+
+    def transform_out(in_, out):
+        import jax.numpy as jnp
+
+        v = out["output_v"]
+        para = in_["para"][:, :, 0:1, 0:1]
+        # Dirichlet in eta (radius): inner = para, outer = 0
+        v = v.at[:, :, :PAD, :].set(para * jnp.ones_like(v[:, :, :PAD, :]))
+        v = v.at[:, :, -PAD:, :].set(0.0)
+        # periodic in xi (theta): wrap frame columns (reference's row copies)
+        v = v.at[:, :, :, 0:PAD].set(v[:, :, :, -2 * PAD : -PAD])
+        v = v.at[:, :, :, -PAD:].set(v[:, :, :, PAD : 2 * PAD])
+        jinv = jnp.asarray(jinvs)
+        dvdx = dfdx(v, jnp.asarray(dydetas), jnp.asarray(dydxis), jinv)
+        d2vdx2 = dfdx(dvdx, jnp.asarray(dydetas), jnp.asarray(dydxis), jinv)
+        dvdy = dfdy(v, jnp.asarray(dxdxis), jnp.asarray(dxdetas), jinv)
+        d2vdy2 = dfdy(dvdy, jnp.asarray(dxdxis), jnp.asarray(dxdetas), jinv)
+        return {"residual": jnp.mean((d2vdx2 + d2vdy2) ** 2)[None, None], "output_v": v}
+
+    model.register_output_transform(transform_out)
+    sup = psci.constraint.SupervisedConstraint(
+        {"dataset": {"name": "NamedArrayDataset", "input": {"para": para_imgs}},
+         "batch_size": len(paras), "iters_per_epoch": 1,
+         "sampler": {"name": "BatchSampler", "shuffle": False, "drop_last": False}},
+        psci.loss.FunctionalLoss(lambda out, label, weight: {"residual": out["residual"].sum()}),
+        {"residual": lambda out: out["residual"], "output_v": lambda out: out["output_v"]},
+        name="residual",
+    )
+    solver = psci.solver.Solver(
+        model, {"residual": sup}, output_dir, psci.optimizer.Adam(learning_rate)(model),
+        epochs=epochs, iters_per_epoch=1, eval_during_train=False)
+    return solver, (para_imgs, data)
+
+
+def evaluate_field_bc(solver, aux, r_in=1.0, r_out=2.0):
+    """Analytic check: T(r; para) = para ln(r_out/r) / ln(r_out/r_in)."""
+    para_imgs, data = aux
+    out = solver.predict({"para": para_imgs}, batch_size=len(para_imgs),
+                         return_numpy=True)
+    v = out["output_v"][:, 0]  # (P, ny, nx)
+    ny = v.shape[1]
+    r = np.linspace(r_in, r_out, ny)
+    truth = (para_imgs[:, 0, 0, 0][:, None]
+             * np.log(r_out / r)[None, :] / np.log(r_out / r_in))
+    truth = np.repeat(truth[:, :, None], v.shape[2], axis=2)
+    ev = float(np.sqrt(np.mean((truth - v) ** 2) / np.mean(truth**2)))
+    print(f"phygeonet_bc ev (rel L2 vs analytic log profile) = {ev:.4f}")
+    return ev
+
+
 def main_cli():
     import _runner
 

@@ -1,11 +1,15 @@
 """DeepPhyLSTM: physics-informed LSTM for seismic structural response
-(reference ``examples/phylstm/phylstm2.py``).
+(reference ``examples/phylstm/phylstm2.py`` / ``phylstm3.py`` via
+``model_type``).
 
 Model type 2: LSTM predicts (displacement eta, velocity eta_dot, restoring
 force g) from ground acceleration; the physics loss couples them through
 the equation of motion eta_tt + eta_dot + g = -ag using the spectral
-differentiation matrix phi. Synthetic Bouc-Wen-like responses stand in for
-the (non-downloadable) earthquake records.
+differentiation matrix phi. Model type 3 adds the hysteresis consistency
+term: a third LSTM predicts g_dot from (eta_dot, eta) and the loss drives
+phi @ g - g_dot -> 0 (reference ``functions.py:train_loss_func3``).
+Synthetic Bouc-Wen-like responses stand in for the (non-downloadable)
+earthquake records.
 """
 
 import sys
@@ -43,14 +47,15 @@ def _synthetic_records(n=N_SAMPLES, seed=0):
     return ag, eta, phi[None]
 
 
-def main(steps=80):
+def main(steps=80, model_type=2):
     import jax
     import jax.numpy as jnp
     import optax
 
     psci.utils.set_random_seed(0)
     ag, eta, phi = _synthetic_records()
-    model = psci.arch.DeepPhyLSTM(input_size=1, output_size=1, hidden_size=32, model_type=2)
+    model = psci.arch.DeepPhyLSTM(input_size=1, output_size=1, hidden_size=32,
+                                  model_type=model_type)
     inp = {"ag": jnp.asarray(ag), "ag_c": jnp.asarray(ag), "phi": jnp.asarray(phi)}
     eta_t = jnp.asarray(eta)
     params = model.param_tree()
@@ -64,6 +69,10 @@ def main(steps=80):
             data = jnp.mean((out["eta_pred"] - eta_t) ** 2)
             # physics: eta_t (from phi) must match predicted velocity
             phys = jnp.mean((out["eta_t_pred_c"] - out["eta_dot_pred_c"]) ** 2)
+            if model_type == 3:
+                # hysteresis: phi @ g must match the g-LSTM's g_dot
+                # (the arch returns their difference; functions.py:94)
+                phys = phys + jnp.mean(out["g_t_pred_c"] ** 2)
             return data + phys
         loss, g = jax.value_and_grad(loss_fn)(params)
         upd, opt = tx.update(g, opt)
@@ -84,7 +93,8 @@ def main_cli():
     @psci.utils.config.main("conf/phylstm_seismic.yaml")
     def _main(cfg):
         return psci.utils.config.dispatch(
-            cfg, train=lambda c: main(c.TRAIN.steps))
+            cfg, train=lambda c: main(c.TRAIN.steps,
+                                      model_type=c.TRAIN.get("model_type", 2)))
 
     return _main()
 
