@@ -73,3 +73,21 @@ def test_build_optimizer():
         iters_per_epoch=10,
     )
     np.testing.assert_allclose(float(opt.lr_fn(0)), 1e-3, rtol=1e-6)
+
+
+def test_cosine_warm_restarts():
+    # reference semantics (lr_scheduler.py:641-643): with by_epoch=False,
+    # T_0 counts epochs and is scaled to T_0 * iters_per_epoch steps
+    sched = lrs.CosineWarmRestarts(
+        epochs=10, iters_per_epoch=10, learning_rate=1.0, T_0=2)()  # restart every 20 steps
+    np.testing.assert_allclose(float(sched(0)), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(20)), 1.0, rtol=1e-5)   # restart
+    np.testing.assert_allclose(float(sched(10)), 0.5, rtol=1e-5)   # trough midpoint
+    np.testing.assert_allclose(float(sched(30)), 0.5, rtol=1e-5)
+    # T_mult=2: periods grow 20, 40, 80... restarts at 20, 60
+    sched2 = lrs.CosineWarmRestarts(
+        epochs=20, iters_per_epoch=10, learning_rate=1.0, T_0=2, T_mult=2)()
+    np.testing.assert_allclose(float(sched2(60)), 1.0, rtol=1e-4)
+    assert float(sched2(59)) < 0.05  # end of the 40-step period
+    # reference-name alias (lr_scheduler.py:523)
+    assert lrs.CosineAnnealingWarmRestarts is lrs.CosineWarmRestarts
