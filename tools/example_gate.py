@@ -74,6 +74,11 @@ SMOKE_OVERRIDES = {
     "phylstm3_seismic": ["TRAIN.steps=40"],
     "amgnet_cylinder": ["TRAIN.steps=20"],
     "phygeonet_bc": ["TRAIN.epochs=200"],
+    "deephpms_ns": ["TRAIN.epochs_idn=2", "TRAIN.epochs_pde=2",
+                    "TRAIN.iters_per_epoch=2", "TRAIN.nx=48", "TRAIN.nt=9",
+                    "TRAIN.n_eval=4096"],
+    "allen_cahn_piratenet": ["TRAIN.epochs=1", "TRAIN.iters_per_epoch=20",
+                             "TRAIN.batch_size=512", "TRAIN.eval_during_train=false"],
 }
 # cases whose smoke run cannot complete in the time budget on CPU, or that
 # are driven by their own generator scripts — still required to IMPORT and
