@@ -154,3 +154,50 @@ def test_radar_dir_fixture(tmp_path):
     assert lab["output"].shape == (4, 8, 8, 1)
     # rescale x/10 - 3: frame t has value t - 3
     np.testing.assert_allclose(inp["input"][1, 0, 0, 0], 1.0 - 3.0)
+
+
+def test_era5_multistep_labels(tmp_path):
+    """ERA5Dataset num_label_timestamps: label_keys[i] = frame t+(i+1)*stride
+    (the FourCastNet finetune rollout contract, reference train_finetune.py)."""
+    import h5py
+
+    data = np.arange(10 * 2 * 4 * 4, dtype=np.float32).reshape(10, 2, 4, 4)
+    p = tmp_path / "era5.h5"
+    with h5py.File(p, "w") as f:
+        f["fields"] = data
+    ds = D.ERA5Dataset(str(p), ("input",), ("output_0", "output_1"),
+                       num_label_timestamps=2)
+    inp, lab, _ = ds[0]
+    np.testing.assert_array_equal(inp["input"], data[0])
+    np.testing.assert_array_equal(lab["output_0"], data[1])
+    np.testing.assert_array_equal(lab["output_1"], data[2])
+    assert len(ds) == 8  # T - stride * num_label_timestamps
+    with pytest.raises(ValueError):
+        D.ERA5Dataset(str(p), ("input",), ("output",), num_label_timestamps=2)
+
+
+def test_sevir_skill_scores_oracle():
+    """examples/earthformer_sevir.py skill scores vs a plain-numpy oracle
+    (reference sevir_metric.py:36-228 semantics, mode '0')."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from earthformer_sevir import sevir_skill_scores, THRESHOLDS, _VIL_SCALE, _VIL_OFFSET
+
+    rng = np.random.default_rng(3)
+    raw_t = rng.uniform(0, 255, (2, 3, 8, 8, 1))
+    raw_p = rng.uniform(0, 255, (2, 3, 8, 8, 1))
+    norm = lambda x: (_VIL_SCALE * (x + _VIL_OFFSET)).astype(np.float32)
+    out = sevir_skill_scores({"vil": norm(raw_p)}, {"vil": norm(raw_t)})
+    eps = 1e-4
+    for i, th in enumerate(THRESHOLDS):
+        t = (raw_t >= th).astype(np.float64)
+        p = (raw_p >= th).astype(np.float64)
+        hits, misses, fas = (t * p).sum(), (t * (1 - p)).sum(), ((1 - t) * p).sum()
+        np.testing.assert_allclose(float(out[f"csi_{th}"]),
+                                   hits / (hits + misses + fas + eps), rtol=1e-3)
+        np.testing.assert_allclose(float(out[f"pod_{th}"]),
+                                   hits / (hits + misses + eps), rtol=1e-3)
+        np.testing.assert_allclose(float(out[f"sucr_{th}"]),
+                                   hits / (hits + fas + eps), rtol=1e-3)
