@@ -186,9 +186,30 @@ def seed_const(c: jnp.ndarray, index: JetIndex) -> Jet:
     return Jet([c] + [z] * (len(index) - 1), index)
 
 
+# Per-context override of _MATMUL_MODE. Inside a Pallas jet-segment kernel
+# the "fused" concat/split is a real VMEM copy (no XLA fusion pass to elide
+# it), while per-stream dots compile cleanly under Mosaic — so the kernel
+# tracer switches to "split" there (ops/jet_pallas.py sets this).
+_MATMUL_MODE_OVERRIDE: list = []
+
+
+class matmul_mode:
+    """Context manager: temporarily force the jet linear lowering mode."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __enter__(self):
+        _MATMUL_MODE_OVERRIDE.append(self.mode)
+
+    def __exit__(self, *exc):
+        _MATMUL_MODE_OVERRIDE.pop()
+
+
 def linear(jet: Jet, w: jnp.ndarray, b=None) -> Jet:
     """Linear layer on every stream; bias on the primal only."""
-    if _MATMUL_MODE == "fused":
+    mode = _MATMUL_MODE_OVERRIDE[-1] if _MATMUL_MODE_OVERRIDE else _MATMUL_MODE
+    if mode == "fused":
         s = len(jet.streams)
         cat = jnp.concatenate(jet.streams, axis=0)
         out = cat @ w

@@ -160,9 +160,16 @@ def _call(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
 
 
 def _apply_fn(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays):
+    import os
+
     ws = _unflatten_ws(treedef, orig_shapes, ws_arrays)
     carries = _streams_to_carries(stream_arrays, spec.index, spec.n_in)
-    with jax.default_matmul_precision(precision):
+    # in-kernel, the "fused" concat/split per layer is a real VMEM copy that
+    # per-stream dots avoid — but split dots reorder the f32 accumulation
+    # (grads shift ~1e-4 rel), so the default stays bit-compatible "fused";
+    # the MFU sweep opts in with PSCI_JET_PALLAS_MATMUL=split
+    mode = os.environ.get("PSCI_JET_PALLAS_MATMUL", "fused")
+    with jax.default_matmul_precision(precision), jetmod.matmul_mode(mode):
         outs = spec.fn(ws, *carries)
     if isinstance(outs, jetmod.Jet):
         outs = (outs,)

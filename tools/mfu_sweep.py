@@ -24,11 +24,13 @@ GRID = {
     "PSCI_JET_PBLOCK_GROUP": ["3", "9"],
     "PSCI_JET_BLOCK_M": ["128", "256", "512"],
     "PSCI_JET_BLOCK_M_BWD": ["64", "128", "256"],
+    "PSCI_JET_PALLAS_MATMUL": ["fused", "split"],
 }
 QUICK = {
     "PSCI_JET_PBLOCK_GROUP": ["3", "9"],
     "PSCI_JET_BLOCK_M": ["256"],
     "PSCI_JET_BLOCK_M_BWD": ["64", "128"],
+    "PSCI_JET_PALLAS_MATMUL": ["fused", "split"],
 }
 
 
