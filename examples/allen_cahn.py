@@ -288,6 +288,12 @@ def train(cfg):
     solver.train()
     metric, _ = solver.eval()
     print(f"final L2Rel.u = {metric:.4e}")
+    # the reference pins the BEST model's metric (best_model checkpoint,
+    # eval_during_train) — report it alongside the last-epoch metric
+    best = solver.best_metric.get("metric", float("inf"))
+    if best < float("inf"):
+        print(f"best  L2Rel.u = {best:.4e} @ epoch {solver.best_metric['epoch']}")
+        metric = min(metric, best)
     return metric
 
 
