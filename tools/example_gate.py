@@ -166,7 +166,9 @@ def main():
         pin = pins.get(case, {}).get("metric")
         status = "ok"
         if args.tier == "smoke" and not args.repin and pin is not None and res["metric"] is not None:
-            if res["metric"] > pin * args.tolerance + 1e-12:
+            # threshold = pin + |pin|*(tol-1): equals pin*tol for positive
+            # pins and stays meaningful for negative ones (e.g. moflow's NLL)
+            if res["metric"] > pin + abs(pin) * (args.tolerance - 1.0) + 1e-12:
                 failures.append(
                     f"{case}: metric {res['metric']:.4g} regressed past pin "
                     f"{pin:.4g} x{args.tolerance}")
