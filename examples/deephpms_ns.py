@@ -21,6 +21,7 @@ import os.path as osp
 import numpy as np
 
 import paddlescience_tpu as psci
+from deephpms import _mat_cfg  # shared dataset-config shape across variants
 from paddlescience_tpu.autodiff import ad, jacobian
 
 NU = 1e-2
@@ -90,7 +91,7 @@ def load_data(path, seed=0, n_train=10000, nx=96, nt=41):
     col = lambda a: a.reshape(-1, 1).astype("float32")
     full = dict(t_star=col(T), x_star=col(XX), y_star=col(YY),
                 u_star=col(U), v_star=col(V), w_star=col(W))
-    idx = rng.choice(len(T), n_train, replace=False)
+    idx = rng.choice(len(T), min(n_train, len(T)), replace=False)
     full.update({k.replace("_star", "_train"): full[k][idx] for k in list(full)})
     return full
 
@@ -146,16 +147,6 @@ def _pde_l2(out, *args):
 
     return {"f_pde": jnp.linalg.norm(out["dw_t"] - out["f_pde"])
             / jnp.linalg.norm(out["dw_t"])}
-
-
-def _mat_cfg(data, in_map, lab_map):
-    return {"dataset": {
-        "name": "NamedArrayDataset",
-        "input": {k: data[v] for k, v in in_map.items()},
-        "label": {k: data[v] for k, v in lab_map.items()},
-    }, "batch_size": len(data[next(iter(in_map.values()))]),
-        "iters_per_epoch": 1,
-        "sampler": {"name": "BatchSampler", "shuffle": False, "drop_last": False}}
 
 
 def run(cfg=None, epochs=(60, 60), iters_per_epoch=1, lr=1e-3,

@@ -19,6 +19,7 @@ import os.path as osp
 import numpy as np
 
 import paddlescience_tpu as psci
+from deephpms import _mat_cfg  # shared dataset-config shape across variants
 from paddlescience_tpu.autodiff import ad, jacobian
 
 T_LB, T_UB = 0.0, float(np.pi / 2)
@@ -128,16 +129,6 @@ def _uv_l2(out, label):
     pred = jnp.sqrt(out["u_idn"] ** 2 + out["v_idn"] ** 2)
     true = jnp.sqrt(label["u_idn"] ** 2 + label["v_idn"] ** 2)
     return {"uv_sol": jnp.linalg.norm(true - pred) / jnp.linalg.norm(true)}
-
-
-def _mat_cfg(data, in_map, lab_map):
-    return {"dataset": {
-        "name": "NamedArrayDataset",
-        "input": {k: data[v] for k, v in in_map.items()},
-        "label": {k: data[v] for k, v in lab_map.items()},
-    }, "batch_size": len(data[next(iter(in_map.values()))]),
-        "iters_per_epoch": 1,
-        "sampler": {"name": "BatchSampler", "shuffle": False, "drop_last": False}}
 
 
 def run(cfg=None, epochs=(60, 60, 60), iters_per_epoch=1, lr=1e-3,

@@ -11,10 +11,6 @@ downloadable in this environment; ``SEVIRDataset`` synthesizes advecting-cell
 sequences unless ``data_dir`` points at a real CATALOG.csv layout.
 """
 
-import sys
-
-import numpy as np
-
 import paddlescience_tpu as psci
 
 IN_LEN, OUT_LEN, H, W = 8, 6, 32, 32  # (reference 13->12 at 384x384; tiny here; T divisible by cuboid_t=2)

@@ -176,25 +176,30 @@ def build_solver(problem="forward", epochs=200, iters_per_epoch=20,
     return solver
 
 
+def train_and_report(c):
+    """Train; in inverse mode report |E_hat - E_true|/E_true (shared by the
+    forward entry and examples/heart_inverse.py)."""
+    import _runner
+
+    solver = _runner.build_from_cfg(c, build_solver)
+    solver.train()
+    metric, group = solver.eval()
+    _runner._print_metrics("final", metric, group)
+    if c.problem == "inverse":
+        e_hat = float(np.asarray(solver.state["eq_params"]["E"]))
+        rel = abs(e_hat - c.e) / c.e
+        print(f"inverse E estimate = {e_hat:.4f} kPa (true {c.e}), rel err {rel:.3f}")
+        return rel
+    return metric
+
+
 def main_cli():
     import _runner
 
     @psci.utils.config.main("conf/heart.yaml")
     def _main(cfg):
-        def train(c):
-            solver = _runner.build_from_cfg(c, build_solver)
-            solver.train()
-            metric, group = solver.eval()
-            _runner._print_metrics("final", metric, group)
-            if c.problem == "inverse":
-                e_hat = float(np.asarray(solver.state["eq_params"]["E"]))
-                rel = abs(e_hat - c.e) / c.e
-                print(f"inverse E estimate = {e_hat:.4f} kPa (true {c.e}), rel err {rel:.3f}")
-                return rel
-            return metric
-
         return psci.utils.config.dispatch(
-            cfg, train=train,
+            cfg, train=train_and_report,
             evaluate=lambda c: _runner.evaluate(c, lambda cc: _runner.build_from_cfg(cc, build_solver)),
             export=lambda c: _runner.export(c, lambda cc: _runner.build_from_cfg(cc, build_solver)),
         )

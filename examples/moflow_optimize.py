@@ -14,8 +14,6 @@ The constrained variant penalizes latent distance to the seed (the
 reference's Tanimoto-similarity constraint, ``optimize_moflow.py:338``).
 """
 
-import sys
-
 import numpy as np
 
 import paddlescience_tpu as psci
@@ -117,7 +115,9 @@ def run(train_steps=60, fit_steps=200, opt_steps=40, opt_lr=0.5, sim_weight=0.0,
           f"after={float(jnp.mean(after)):.4f} (mean improvement {imp:+.4f})")
     nodes_opt, edges_opt = flow.reverse(z_opt)
     print("optimized molecules:", nodes_opt.shape, edges_opt.shape)
-    return imp
+    # gate metric is lower-is-better: return the negated improvement so a
+    # regression (ascent stops improving) moves the metric UP past the pin
+    return -imp
 
 
 def main_cli():

@@ -47,7 +47,7 @@ class ERA5Dataset(NamedArrayDataset):
             data = np.asarray(f[hdf_key])
         if vars_channel is not None:
             data = data[:, list(vars_channel)]
-        if num_label_timestamps > 1 and len(label_keys) != num_label_timestamps:
+        if len(label_keys) != num_label_timestamps:
             raise ValueError(
                 f"need {num_label_timestamps} label_keys, got {len(label_keys)}")
         T = data.shape[0] - stride * num_label_timestamps

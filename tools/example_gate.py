@@ -138,9 +138,13 @@ def main():
             pins = json.load(f)
 
     env = dict(os.environ)
-    # CPU-only: drop the axon TPU site dir — its sitecustomize blocks import
-    # during tunnel outages and the gate never needs the device anyway
-    env.update(JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu", PYTHONPATH=ROOT)
+    # CPU-only: drop the axon TPU site dir (its sitecustomize blocks import
+    # during tunnel outages and the gate never needs the device) but keep
+    # any other PYTHONPATH entries the caller relies on
+    keep = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p]
+    env.update(JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+               PYTHONPATH=os.pathsep.join([ROOT] + keep))
     results, failures = {}, []
     for case in cases:
         if case in SKIP:
