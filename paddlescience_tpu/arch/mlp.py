@@ -721,7 +721,9 @@ class PirateNet(base.Arch):
         key = (seg_key, index)
         if key not in cache:
             bm = int(os.environ.get("PSCI_JET_BLOCK_M", "256"))
-            bm_bwd = int(os.environ.get("PSCI_JET_BLOCK_M_BWD", "64"))
+            # None -> precision-aware default at lowering (jet_pallas._bwd_tile)
+            bm_bwd_env = os.environ.get("PSCI_JET_BLOCK_M_BWD")
+            bm_bwd = int(bm_bwd_env) if bm_bwd_env else None
             cache[key] = jet_pallas.SegmentSpec(
                 _piratenet_blocks_fn(tuple((b.act1, b.act2, b.act3) for b in seg_blocks)),
                 index, n_in=3, n_out=1, block_m=bm, block_m_bwd=bm_bwd,

@@ -82,9 +82,8 @@ class SegmentSpec:
         self.n_in = n_in
         self.n_out = n_out
         self.block_m = block_m
-        # the backward kernel holds the segment's vjp residuals in VMEM —
-        # roughly 4x the forward working set — so it tiles the batch finer
-        self.block_m_bwd = block_m_bwd if block_m_bwd is not None else max(block_m // 4, 64)
+        # None = resolve at lowering time (per-precision; see _bwd_tile)
+        self.block_m_bwd = block_m_bwd
         self.interpret = interpret
         self.name = name
 
@@ -292,10 +291,27 @@ def _fwd(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
     return outs, (ws_flat, in_streams)
 
 
+def _bwd_tile(spec, precision) -> int:
+    """Backward-kernel batch tile. The bwd kernel holds the segment's vjp
+    residuals in VMEM — roughly 4x the forward working set — so it tiles the
+    batch finer; and "highest"-precision dots (the library's accuracy-default
+    matmul_precision=high maps there) lower to multi-pass f32 matmuls whose
+    scratch roughly doubles the scoped-VMEM stack (measured: the flagship
+    allen_cahn_piratenet recipe at batch 8192 hit 28.9M vs the 16M scoped
+    limit at tile 64), so halve again. An explicit block_m_bwd (or the
+    PSCI_JET_BLOCK_M_BWD env in the arch glue) still wins."""
+    if spec.block_m_bwd is not None:
+        return spec.block_m_bwd
+    bm = max(spec.block_m // 4, 64)
+    if precision == "highest":
+        bm = max(bm // 2, 32)
+    return bm
+
+
 def _bwd(spec, treedef, orig_shapes, precision, res, g_outs):
     pl, pltpu = _pl()
     ws_flat, in_streams = res
-    bm = spec.block_m_bwd
+    bm = _bwd_tile(spec, precision)
     in_streams_p, n = _pad_streams(in_streams, bm)
     g_outs_p, _ = _pad_streams(tuple(g_outs), bm)
     npad = in_streams_p[0].shape[0]

@@ -125,3 +125,18 @@ def test_piratenet_uses_pallas_path(monkeypatch):
     ref = m.forward_jet(jetmod.seed(x, idx))
     for a, b in zip(jout.streams, ref.streams):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_bwd_tile_precision_aware():
+    """The backward-kernel batch tile halves under "highest"-precision dots
+    (multi-pass f32 matmuls ~double the scoped-VMEM stack — the flagship
+    allen_cahn_piratenet recipe at matmul_precision=high OOMed the 16M limit
+    at tile 64); explicit block_m_bwd always wins."""
+    spec = jp.SegmentSpec(lambda ws, c: (c,), jetmod.build_index([(0,)]),
+                          n_in=1, n_out=1, block_m=256)
+    assert jp._bwd_tile(spec, "default") == 64
+    assert jp._bwd_tile(spec, "highest") == 32
+    pinned = jp.SegmentSpec(lambda ws, c: (c,), jetmod.build_index([(0,)]),
+                            n_in=1, n_out=1, block_m=256, block_m_bwd=128)
+    assert jp._bwd_tile(pinned, "default") == 128
+    assert jp._bwd_tile(pinned, "highest") == 128
