@@ -14,8 +14,14 @@ timeout 2400 python bench.py > /tmp/tpu_session/bench.json 2> /tmp/tpu_session/b
 tail -1 /tmp/tpu_session/bench.json
 
 echo "[tpu_session] 2/3 allen_cahn piratenet accuracy $(date)"
-( cd examples && PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 7200 python allen_cahn_piratenet.py mode=train \
+# resume from the epoch-58 checkpoint persisted in-repo (a 2026-08-18 run
+# reached epoch 59 at eval L2Rel 2.2e-3 before a chip-sharing hang; full
+# recipe is 300 epochs x 1000 iters at ~11 s/epoch on one v5e).
+# NOTE: never run a second TPU client (bench, probe, sweep) while this is
+# live — two clients on the tunneled chip deadlock each other.
+( cd examples && PSCI_JET_PALLAS=0 PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 7200 python allen_cahn_piratenet.py mode=train \
     TRAIN.matmul_precision=high \
+    TRAIN.checkpoint_path=/root/repo/artifacts/ac_piratenet_e58 \
     output_dir=/tmp/tpu_session/ac_piratenet \
     > /tmp/tpu_session/allen_cahn_piratenet.log 2>&1 )
 tail -3 /tmp/tpu_session/allen_cahn_piratenet.log
