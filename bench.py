@@ -99,17 +99,14 @@ def _time_scan(scan_fn, state, n_calls, fused):
     return n_calls * fused / dt, flops_per_step
 
 
-def bench_allen_cahn(steps, batch, fused, arch="mlp", piratenet_blocks=3):
-    import jax
-
-    from examples.allen_cahn import build_solver
+def _stage_and_tune(solver, fused):
+    """Stage host batches on device and pick the measured-best derivative
+    path (jvp vs jet vs jet Pallas — solver/autotune.py), the same selection
+    a long training run makes; r3 shipped a 2.4x north-star regression by
+    trusting the structural gate. Returns (host_batches, winner_name)."""
     from paddlescience_tpu.parallel import mesh as mesh_mod
+    from paddlescience_tpu.solver import autotune as autotune_mod
 
-    solver, _ = build_solver(
-        epochs=1, iters_per_epoch=steps, batch_size=batch,
-        eval_during_train=False, with_validator=False, output_dir=None,
-        arch=arch, piratenet_blocks=piratenet_blocks,
-    )
     host_batches = {}
     for name, cst in solver.constraint.items():
         if cst.data_iter is not None:
@@ -119,6 +116,21 @@ def bench_allen_cahn(steps, batch, fused, arch="mlp", piratenet_blocks=3):
                 mesh_mod.shard_batch(lab, solver.mesh),
                 mesh_mod.shard_batch(wgt, solver.mesh),
             )
+    deriv = autotune_mod.autotune(solver, host_batches, fused)
+    return host_batches, deriv
+
+
+def bench_allen_cahn(steps, batch, fused, arch="mlp", piratenet_blocks=3):
+    import jax
+
+    from examples.allen_cahn import build_solver
+
+    solver, _ = build_solver(
+        epochs=1, iters_per_epoch=steps, batch_size=batch,
+        eval_during_train=False, with_validator=False, output_dir=None,
+        arch=arch, piratenet_blocks=piratenet_blocks,
+    )
+    host_batches, deriv = _stage_and_tune(solver, fused)
     scan_fn = solver._build_scanned_train_step_static(fused, host_batches)
     n_calls = max(steps // fused, 1)
     steps_per_sec, flops_per_step = _time_scan(scan_fn, solver.state, n_calls, fused)
@@ -129,6 +141,7 @@ def bench_allen_cahn(steps, batch, fused, arch="mlp", piratenet_blocks=3):
         "steps_per_sec_per_chip": round(steps_per_sec / n_chips, 3),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "xla_flops_per_step": flops_per_step,
+        "deriv_path": deriv,
     }
 
 
@@ -197,18 +210,8 @@ def build_matched_cylinder(scan_steps):
 def bench_cylinder(steps, fused):
     import jax
 
-    from paddlescience_tpu.parallel import mesh as mesh_mod
-
     solver, total_points = build_matched_cylinder(steps)
-    host_batches = {}
-    for name, cst in solver.constraint.items():
-        if cst.data_iter is not None:
-            inp, lab, wgt = next(cst.data_iter)
-            host_batches[name] = (
-                mesh_mod.shard_batch(inp, solver.mesh),
-                mesh_mod.shard_batch(lab, solver.mesh),
-                mesh_mod.shard_batch(wgt, solver.mesh),
-            )
+    host_batches, deriv = _stage_and_tune(solver, fused)
     scan_fn = solver._build_scanned_train_step_static(fused, host_batches)
     n_calls = max(steps // fused, 1)
     steps_per_sec, flops_per_step = _time_scan(scan_fn, solver.state, n_calls, fused)
@@ -222,6 +225,7 @@ def bench_cylinder(steps, fused):
         "points_per_step": total_points,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "vs_published_ref_ips": round(ips / CYLINDER_REF_IPS, 3),
+        "deriv_path": deriv,
     }
 
 
@@ -234,20 +238,12 @@ def bench_euler_beam(steps, fused):
     import jax
 
     from examples.euler_beam import build_solver
-    from paddlescience_tpu.parallel import mesh as mesh_mod
 
     solver = build_solver(epochs=1, iters_per_epoch=1)
-    host_batches = {}
-    total_points = 0
-    for name, cst in solver.constraint.items():
-        if cst.data_iter is not None:
-            inp, lab, wgt = next(cst.data_iter)
-            total_points += next(iter(inp.values())).shape[0]
-            host_batches[name] = (
-                mesh_mod.shard_batch(inp, solver.mesh),
-                mesh_mod.shard_batch(lab, solver.mesh),
-                mesh_mod.shard_batch(wgt, solver.mesh),
-            )
+    host_batches, _ = _stage_and_tune(solver, fused)
+    total_points = sum(
+        next(iter(inp.values())).shape[0] for (inp, _, _) in host_batches.values()
+    )
     scan_fn = solver._build_scanned_train_step_static(fused, host_batches)
     n_calls = max(steps // fused, 1)
     steps_per_sec, flops_per_step = _time_scan(scan_fn, solver.state, n_calls, fused)

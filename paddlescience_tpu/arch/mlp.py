@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from paddlescience_tpu.arch import activation as act_mod
 from paddlescience_tpu.arch import base
 from paddlescience_tpu.autodiff import jet
+from paddlescience_tpu.autodiff import path as deriv_path
 from paddlescience_tpu.nn.core import Buffer, Lambda, Module, Param, Rngs
 from paddlescience_tpu.nn.layers import Linear
 from paddlescience_tpu.utils import initializer
@@ -227,7 +228,7 @@ def _mlp_segment_fn(acts, gated: bool):
 
 
 def _jet_pallas_ok(model, layers_acts, linears=()) -> bool:
-    if os.environ.get("PSCI_JET_PALLAS", "1") != "1":
+    if deriv_path.flag("PSCI_JET_PALLAS", "1") != "1":
         return False
     from paddlescience_tpu.ops import jet_pallas
 
@@ -412,6 +413,12 @@ class MLP(base.Arch):
     def supports_jet(self) -> bool:
         return self._input_transform is None and self._output_transform is None
 
+    def jet_pallas_eligible(self) -> bool:
+        """Structural eligibility for the fused Pallas jet segments — the
+        autotuner (solver/autotune.py) only times the jet_pallas candidate
+        when some model would actually take it."""
+        return not self.skip_connection and _jet_pallas_ok(self, self.acts, self.linears)
+
     def forward_jet(self, jx: "jet.Jet") -> "jet.Jet":
         jx = _jet_embed(self, jx)
         # plain MLPs are shallow enough that XLA's fusion of the pure jet
@@ -419,7 +426,7 @@ class MLP(base.Arch):
         # stacks (ModifiedMLP / PirateNet). Opt in with PSCI_JET_PALLAS_MLP=1.
         if (
             not self.skip_connection
-            and os.environ.get("PSCI_JET_PALLAS_MLP", "0") == "1"
+            and deriv_path.flag("PSCI_JET_PALLAS_MLP", "0") == "1"
             and _jet_pallas_ok(self, self.acts, self.linears)
         ):
             jx = _jet_pallas_segments(self, jx, self.linears, self.acts, gated=False)
@@ -528,6 +535,9 @@ class ModifiedMLP(base.Arch):
 
     def supports_jet(self) -> bool:
         return self._input_transform is None and self._output_transform is None
+
+    def jet_pallas_eligible(self) -> bool:
+        return not self.skip_connection and _jet_pallas_ok(self, self.acts, self.linears)
 
     def forward_jet(self, jx: "jet.Jet") -> "jet.Jet":
         jx = _jet_embed(self, jx)
@@ -665,6 +675,9 @@ class PirateNet(base.Arch):
     def supports_jet(self) -> bool:
         return self._input_transform is None and self._output_transform is None
 
+    def jet_pallas_eligible(self) -> bool:
+        return self._use_jet_pallas()
+
     def forward_jet(self, jx: "jet.Jet") -> "jet.Jet":
         jx = _jet_embed(self, jx)
         u = jet.elementwise(_jet_linear(self.embed_u, jx), self.embed_act_u)
@@ -697,7 +710,7 @@ class PirateNet(base.Arch):
         return _jet_linear(self.last_fc, y)
 
     def _use_jet_pallas(self) -> bool:
-        if os.environ.get("PSCI_JET_PALLAS", "1") != "1":
+        if deriv_path.flag("PSCI_JET_PALLAS", "1") != "1":
             return False
         from paddlescience_tpu.ops import jet_pallas
 

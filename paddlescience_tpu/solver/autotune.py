@@ -1,0 +1,191 @@
+"""Measured derivative-path selection for the train step.
+
+Round 3 shipped a 2.4x north-star regression because the jet fast path was
+gated *structurally* (enabled whenever the arch supports it) while its win is
+a *measured* property of (arch, derivative components, batch, device): the
+fused Taylor jet is 3x faster on deep gated PirateNet stacks and 2.5x SLOWER
+on the shallow Allen-Cahn 4x256 MLP (one v5e, 2026-08-18; VERDICT r3 weak
+#1/#6). The only robust gate is a stopwatch.
+
+:func:`autotune` compiles the solver's fused train scan once per candidate
+path (``jvp`` / ``jet`` / ``jet_pallas`` — ``autodiff/path.py``), times a few
+executions of each, installs the winner as the process default, and caches
+the decision on disk keyed by a signature of (device kind, precision, model
+parameter shapes, batch shapes) so later runs skip the extra compiles.
+
+Cost when not cached: one extra XLA compile per losing candidate (~20-40 s
+each on a tunneled chip) + <2 s of timed steps — amortized over any real
+training run. The solver triggers it automatically for long static-batch
+runs (``PSCI_AUTOTUNE=auto``, >= ``PSCI_AUTOTUNE_MIN_STEPS`` total steps);
+``PSCI_AUTOTUNE=1`` forces it, ``0`` disables it.
+
+The reference has no counterpart — its derivative path is single-choice
+(cached ``paddle.grad`` replays, ppsci/autodiff/ad.py:30-341).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from paddlescience_tpu.autodiff import path as deriv_path
+from paddlescience_tpu.utils import logger
+
+__all__ = ["autotune", "maybe_autotune", "candidate_names"]
+
+_DEFAULT_CACHE = os.path.join(
+    os.path.expanduser("~"), ".cache", "paddlescience_tpu", "deriv_autotune.json"
+)
+
+
+def _cache_path() -> str:
+    return os.environ.get("PSCI_AUTOTUNE_CACHE", _DEFAULT_CACHE)
+
+
+def _load_cache() -> Dict:
+    try:
+        with open(_cache_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _store_cache(cache: Dict) -> None:
+    p = _cache_path()
+    try:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only home: decision still applies for this process
+
+
+def _shape_sig(tree) -> str:
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
+    return ";".join(
+        f"{jax.tree_util.keystr(k)}:{getattr(v, 'shape', ())}:{getattr(v, 'dtype', '')}"
+        for k, v in leaves
+    )
+
+
+def signature(solver, batches) -> str:
+    """Hash of everything the winner plausibly depends on. Parameter shapes
+    capture the arch (depth/width/embeddings); batch shapes capture the
+    workload; device kind + matmul precision capture the hardware regime."""
+    dev = jax.devices()[0]
+    parts = [
+        f"dev={dev.device_kind}|{dev.platform}|n={jax.device_count()}",
+        "prec="
+        + os.environ.get("PSCI_MATMUL_PRECISION", "")
+        + "|"
+        + str(jax.config.jax_default_matmul_precision),
+        "models=" + ",".join(type(m).__name__ for m in solver.models),
+        "params=" + _shape_sig(solver.state["params"]),
+        "batches=" + _shape_sig(batches),
+        "agg=" + type(solver.loss_aggregator).__name__,
+        "gran=" + str(getattr(solver, "loss_granularity", "constraint")),
+    ]
+    for name, cst in solver.constraint.items():
+        if cst.data_iter is None:  # device-sampled: shape via abstract eval
+            try:
+                s = jax.eval_shape(cst.dataset.sample_fn, jax.random.PRNGKey(0))
+                parts.append(f"dsamp[{name}]=" + _shape_sig(s))
+            except Exception:
+                parts.append(f"dsamp[{name}]=?")
+    return hashlib.sha1("\n".join(parts).encode()).hexdigest()
+
+
+def candidate_names(solver) -> List[str]:
+    """Candidate paths that are structurally distinct for this solver."""
+    names = ["jvp"]
+    if any(getattr(m, "supports_jet", lambda: False)() for m in solver.models):
+        names.append("jet")
+        with deriv_path.override(deriv_path.CANDIDATES["jet_pallas"]):
+            if any(
+                getattr(m, "jet_pallas_eligible", lambda: False)()
+                for m in solver.models
+            ):
+                names.append("jet_pallas")
+    return names
+
+
+def _time_candidate(solver, batches, k: int, calls: int) -> float:
+    """Compile the k-fused static scan under the active path override and
+    return measured seconds/step (compile time excluded)."""
+    scan_fn = solver._build_scanned_train_step_static(k, batches, donate=False)
+    compiled = scan_fn.lower(solver.state).compile()
+    out, logs = compiled(solver.state)  # warm-up (pages in buffers)
+    jax.block_until_ready(logs["loss"])
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        out, logs = compiled(solver.state)
+    jax.block_until_ready(logs["loss"])
+    return (time.perf_counter() - t0) / (calls * k)
+
+
+def autotune(solver, batches, fused: int) -> str:
+    """Measure all candidate derivative paths for this solver's train step,
+    install the winner via :func:`deriv_path.set_default`, and return its
+    name. Decisions are cached on disk keyed by :func:`signature`."""
+    names = candidate_names(solver)
+    if len(names) == 1:
+        deriv_path.set_default(deriv_path.CANDIDATES[names[0]])
+        return names[0]
+
+    sig = signature(solver, batches)
+    cache = _load_cache()
+    hit = cache.get(sig)
+    if hit and hit.get("winner") in names:
+        deriv_path.set_default(deriv_path.CANDIDATES[hit["winner"]])
+        logger.info(
+            f"[autotune] deriv path = {hit['winner']} (cached; "
+            f"{_cache_path()})"
+        )
+        return hit["winner"]
+
+    k = max(1, min(fused, int(os.environ.get("PSCI_AUTOTUNE_FUSED", "50"))))
+    calls = int(os.environ.get("PSCI_AUTOTUNE_CALLS", "3"))
+    timings: Dict[str, float] = {}
+    for name in names:
+        try:
+            with deriv_path.override(deriv_path.CANDIDATES[name]):
+                timings[name] = _time_candidate(solver, batches, k, calls)
+            logger.info(f"[autotune] {name}: {timings[name] * 1e3:.3f} ms/step")
+        except Exception as e:  # candidate may not compile (e.g. VMEM OOM)
+            logger.warning(f"[autotune] {name} failed to compile/run: {e}")
+    if not timings:
+        deriv_path.set_default(None)
+        return "env"
+    winner = min(timings, key=timings.get)
+    deriv_path.set_default(deriv_path.CANDIDATES[winner])
+    cache[sig] = {
+        "winner": winner,
+        "timings_ms_per_step": {n: round(t * 1e3, 4) for n, t in timings.items()},
+        "k_fused": k,
+        "device": jax.devices()[0].device_kind,
+    }
+    _store_cache(cache)
+    logger.info(f"[autotune] deriv path = {winner}")
+    return winner
+
+
+def maybe_autotune(solver, batches, fused: int) -> Optional[str]:
+    """Solver hook: autotune when forced (``PSCI_AUTOTUNE=1``) or when in
+    auto mode the run is long enough to amortize the extra compiles."""
+    mode = os.environ.get("PSCI_AUTOTUNE", "auto")
+    if mode == "0":
+        return None
+    if mode != "1":
+        total = solver.epochs * solver.iters_per_epoch
+        min_steps = int(os.environ.get("PSCI_AUTOTUNE_MIN_STEPS", "20000"))
+        if total < min_steps:
+            return None
+        if len(candidate_names(solver)) == 1:
+            return None
+    return autotune(solver, batches, fused)

@@ -524,11 +524,13 @@ class Solver:
             self._agg_update_fn = self._build_agg_update_fn()
         self.state["agg_state"] = self._agg_update_fn(self.state, host_batches)
 
-    def _build_scanned_train_step_static(self, num_fused_steps: int, batches):
+    def _build_scanned_train_step_static(self, num_fused_steps: int, batches, donate: bool = True):
         """Scan variant with a fixed host batch closed over (no (K, ...)
         stacked operand): right when every constraint either samples on
         device (DeviceSampledDataset) or trains on a static full batch —
-        avoids materializing a K-times-broadcast copy of the batch in HBM."""
+        avoids materializing a K-times-broadcast copy of the batch in HBM.
+        ``donate=False`` keeps the input state alive (the path autotuner
+        re-feeds the same state to every candidate)."""
         self._build_train_step()
         inner = self._raw_step_fn
 
@@ -539,7 +541,7 @@ class Solver:
             state, logs = jax.lax.scan(body, state, None, length=num_fused_steps)
             return state, jax.tree.map(lambda x: x[-1], logs)
 
-        return jax.jit(scanned, donate_argnums=(0,))
+        return jax.jit(scanned, donate_argnums=(0,) if donate else ())
 
     def _build_lbfgs_step(self):
         """L-BFGS with zoom line search — value_and_grad threaded through opt
@@ -811,6 +813,9 @@ class Solver:
             if cst.data_iter is not None:
                 inp, lab, wgt = next(cst.data_iter)
                 host_batches[name] = (put(inp), put(lab), put(wgt))
+        from paddlescience_tpu.solver import autotune as autotune_mod
+
+        autotune_mod.maybe_autotune(self, host_batches, k)
         scan_fn = self._build_scanned_train_step_static(k, host_batches)
         total_steps = self.epochs * self.iters_per_epoch
         start_epoch = int(self.last_epoch) + 1

@@ -224,10 +224,10 @@ def forward_with_derivatives(
             # layer) instead of per-component nested-jvp chains. Only valid
             # when every model input is a differentiable coordinate column.
             jet_fn = None
-            import os as _os
+            from paddlescience_tpu.autodiff import path as deriv_path
 
             if (
-                _os.environ.get("PSCI_JET", "1") == "1"
+                deriv_path.flag("PSCI_JET", "1") == "1"
                 and not extra_keys
                 and getattr(model, "supports_jet", lambda: False)()
             ):
