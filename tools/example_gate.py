@@ -8,15 +8,23 @@ This is the role of the reference's ``test_tipc/benchmark_train.sh`` +
 per-example docs acceptance tables (``docs/zh/examples/*.md``).
 
 Tiers:
+  quick  — ~10 canary cases spanning the model families (PINN, operator
+           learning, spectral weather, graph, molecular, IDE/fPDE);
+           <10 min serially on this host. The CI tier.
   smoke  — tiny overrides (seconds-to-minutes per case on CPU); asserts the
            pinned smoke metric within a tolerance factor (seeded runs are
            deterministic per platform; the factor absorbs BLAS jitter).
+           ~97 min serially on a 1-core host; use --jobs on multi-core.
   full   — default configs, no overrides (hours; metric recorded, not
            asserted — full-fidelity numbers are pinned in
            docs/example_metrics.json with hardware tags).
 
+Cases are subprocess-isolated, so --jobs N runs N of them concurrently
+(wall-clock divides by min(N, cores); each case is single-process BLAS).
+
 Usage:
-  python tools/example_gate.py --tier smoke             # gate everything
+  python tools/example_gate.py --tier quick             # CI canaries
+  python tools/example_gate.py --tier smoke --jobs 8    # full acceptance
   python tools/example_gate.py --cases laplace2d,viv    # subset
   python tools/example_gate.py --repin                  # refresh pins
   python tools/example_gate.py --one <case> ...         # internal worker
@@ -85,6 +93,21 @@ SMOKE_OVERRIDES = {
 # expose an entrypoint by tests/test_examples_import.py
 SKIP = {}
 
+# quick-tier canaries: one per model family, chosen from the fastest smoke
+# runs (pins' seconds field) — ~160 s of work total, <10 min wall serially
+QUICK_CASES = [
+    "euler_beam",             # 4th-order PINN (jvp fallback path)
+    "allen_cahn",             # flagship PINN (jet/causal/GradNorm)
+    "ldc2d_steady",           # Navier-Stokes PINN
+    "deeponet",               # operator learning
+    "sfno_swe",               # spherical spectral weather
+    "tgcn_pems",              # graph temporal
+    "graphcast",              # GNN weather
+    "cgcnn_property",         # crystal-graph molecular
+    "volterra_ide",           # integro-differential
+    "fractional_poisson_2d",  # fractional PDE
+]
+
 
 def discover_cases():
     examples = os.path.join(ROOT, "examples")
@@ -116,22 +139,29 @@ def run_one(case: str, tier: str) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tier", default="smoke", choices=["smoke", "full"])
+    ap.add_argument("--tier", default="smoke", choices=["quick", "smoke", "full"])
     ap.add_argument("--cases", default=None)
     ap.add_argument("--repin", action="store_true")
     ap.add_argument("--one", default=None, help="internal: run one case in-process")
     ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--jobs", type=int, default=max(1, min(8, os.cpu_count() or 1)),
+                    help="concurrent case subprocesses (cases are isolated)")
     ap.add_argument("--tolerance", type=float, default=2.0,
                     help="fail when metric > pin * tolerance (and warn when "
                          "metric improves by more than the same factor)")
     args = ap.parse_args()
 
     if args.one:
-        res = run_one(args.one, args.tier)
+        res = run_one(args.one, "full" if args.tier == "full" else "smoke")
         print("GATE_RESULT " + json.dumps(res))
         return 0
 
-    cases = args.cases.split(",") if args.cases else discover_cases()
+    if args.cases:
+        cases = args.cases.split(",")
+    elif args.tier == "quick":
+        cases = list(QUICK_CASES)
+    else:
+        cases = discover_cases()
     pins = {}
     if os.path.exists(PINS):
         with open(PINS) as f:
@@ -145,39 +175,51 @@ def main():
             if p and "axon" not in p]
     env.update(JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
                PYTHONPATH=os.pathsep.join([ROOT] + keep))
+
+    def launch(case):
+        cmd = [sys.executable, os.path.abspath(__file__), "--one", case, "--tier", args.tier]
+        try:
+            return case, subprocess.run(cmd, env=env, capture_output=True, text=True,
+                                        timeout=args.timeout, cwd=ROOT)
+        except subprocess.TimeoutExpired:
+            return case, None
+
     results, failures = {}, []
+    to_run = [c for c in cases if c not in SKIP]
     for case in cases:
         if case in SKIP:
             results[case] = {"case": case, "skipped": SKIP[case]}
             print(f"[gate] {case}: SKIP ({SKIP[case]})")
-            continue
-        cmd = [sys.executable, os.path.abspath(__file__), "--one", case, "--tier", args.tier]
-        try:
-            proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                                  timeout=args.timeout, cwd=ROOT)
-        except subprocess.TimeoutExpired:
-            failures.append(f"{case}: TIMEOUT after {args.timeout}s")
-            print(f"[gate] {case}: TIMEOUT")
-            continue
-        marker = [ln for ln in proc.stdout.splitlines() if ln.startswith("GATE_RESULT ")]
-        if proc.returncode != 0 or not marker:
-            failures.append(f"{case}: exit {proc.returncode}")
-            tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-8:])
-            print(f"[gate] {case}: ERROR\n{tail}")
-            continue
-        res = json.loads(marker[-1][len("GATE_RESULT "):])
-        results[case] = res
-        pin = pins.get(case, {}).get("metric")
-        status = "ok"
-        if args.tier == "smoke" and not args.repin and pin is not None and res["metric"] is not None:
-            # threshold = pin + |pin|*(tol-1): equals pin*tol for positive
-            # pins and stays meaningful for negative ones (e.g. moflow's NLL)
-            if res["metric"] > pin + abs(pin) * (args.tolerance - 1.0) + 1e-12:
-                failures.append(
-                    f"{case}: metric {res['metric']:.4g} regressed past pin "
-                    f"{pin:.4g} x{args.tolerance}")
-                status = "REGRESSED"
-        print(f"[gate] {case}: {status} metric={res['metric']} ({res['seconds']}s)")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    # the pool only dispatches subprocesses — min(jobs, cases) OS processes
+    # do the work; on a 1-core host this degrades gracefully to serial
+    with ThreadPoolExecutor(max_workers=max(1, args.jobs)) as pool:
+        for case, proc in pool.map(launch, to_run):
+            if proc is None:
+                failures.append(f"{case}: TIMEOUT after {args.timeout}s")
+                print(f"[gate] {case}: TIMEOUT")
+                continue
+            marker = [ln for ln in proc.stdout.splitlines() if ln.startswith("GATE_RESULT ")]
+            if proc.returncode != 0 or not marker:
+                failures.append(f"{case}: exit {proc.returncode}")
+                tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-8:])
+                print(f"[gate] {case}: ERROR\n{tail}")
+                continue
+            res = json.loads(marker[-1][len("GATE_RESULT "):])
+            results[case] = res
+            pin = pins.get(case, {}).get("metric")
+            status = "ok"
+            if args.tier != "full" and not args.repin and pin is not None and res["metric"] is not None:
+                # threshold = pin + |pin|*(tol-1): equals pin*tol for positive
+                # pins and stays meaningful for negative ones (e.g. moflow's NLL)
+                if res["metric"] > pin + abs(pin) * (args.tolerance - 1.0) + 1e-12:
+                    failures.append(
+                        f"{case}: metric {res['metric']:.4g} regressed past pin "
+                        f"{pin:.4g} x{args.tolerance}")
+                    status = "REGRESSED"
+            print(f"[gate] {case}: {status} metric={res['metric']} ({res['seconds']}s)")
 
     if args.repin and args.tier == "smoke":
         # merge into existing pins so a --cases subset repin never drops
