@@ -180,8 +180,33 @@ def train_curriculum(cfg):
         solver.train()
         metric, _ = solver.eval()
         print(f"Re={Re}: L2Rel.U = {metric:.5f}")
+        ghia_report(model, Re)
         carry = solver.state
     return metric
+
+
+def ghia_report(model, Re) -> dict:
+    """Distribution-independent cross-check: RMSE of the trained model's
+    centerline velocity profiles against the Ghia et al. (1982) benchmark
+    tables (psci.utils.ghia) — independent of the in-repo generated ground
+    truth. Only printed (not gate-asserted): the Ghia cavity has a uniform
+    lid; the recipe trains the regularized lid, so near-lid points are
+    excluded (clip=0.95) and a small systematic offset remains."""
+    from paddlescience_tpu.utils import ghia
+
+    if int(Re) not in ghia.GHIA_TABLES:
+        return {}
+
+    def uv_fn(x, y):
+        out = model({"x": np.asarray(x, np.float32).reshape(-1, 1),
+                     "y": np.asarray(y, np.float32).reshape(-1, 1)})
+        return {"u": np.asarray(out["u"]), "v": np.asarray(out["v"])}
+
+    r = ghia.profile_rmse(uv_fn, int(Re))
+    print(f"Re={Re}: Ghia-profile RMSE u={r['ghia_u_rmse']:.4f} "
+          f"(n={r['n_u']}), v={r['ghia_v_rmse']:.4f} (n={r['n_v']}) "
+          f"[vs Ghia et al. 1982 tables; regularized-lid caveat]")
+    return r
 
 
 def evaluate(cfg):
