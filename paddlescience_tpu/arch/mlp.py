@@ -271,11 +271,23 @@ def _jet_pallas_segments(model, jx, linears, acts, gated, uv=()):
         seg_a = acts[s : s + g]
         key = ("mlp_seg", s, len(seg_l), gated, y.index)
         if key not in cache:
+            # per-layer stages let the backward kernel keep only one layer's
+            # vjp residuals live (streaming backward, ops/jet_pallas.py)
+            def _layer_stage(i, act):
+                def stage(ws, y_, *uv_):
+                    y_ = jet.elementwise(jet.linear(y_, ws[2 * i], ws[2 * i + 1]), act)
+                    if gated:
+                        y_ = _jet_gate(y_, uv_[0], uv_[1])
+                    return (y_,)
+
+                return stage
+
             cache[key] = jet_pallas.SegmentSpec(
                 _mlp_segment_fn(tuple(seg_a), gated),
                 y.index, n_in=1 + len(uv), n_out=1, block_m=bm,
                 interpret=jet_pallas.interpret_forced(),
                 name="mlp_seg",
+                stages=tuple(_layer_stage(i, a) for i, a in enumerate(seg_a)),
             )
         ws = []
         for l in seg_l:
@@ -737,10 +749,21 @@ class PirateNet(base.Arch):
             # None -> precision-aware default at lowering (jet_pallas._bwd_tile)
             bm_bwd_env = os.environ.get("PSCI_JET_BLOCK_M_BWD")
             bm_bwd = int(bm_bwd_env) if bm_bwd_env else None
+            acts = tuple((b.act1, b.act2, b.act3) for b in seg_blocks)
+
+            # one stage per residual block: the streaming backward keeps only
+            # one block's vjp residuals live instead of the whole group's
+            def _block_stage(i, a3):
+                def stage(ws, y_, u_, v_):
+                    return _piratenet_block_fn(*a3)(ws[i], y_, u_, v_)
+
+                return stage
+
             cache[key] = jet_pallas.SegmentSpec(
-                _piratenet_blocks_fn(tuple((b.act1, b.act2, b.act3) for b in seg_blocks)),
+                _piratenet_blocks_fn(acts),
                 index, n_in=3, n_out=1, block_m=bm, block_m_bwd=bm_bwd,
                 interpret=jet_pallas.interpret_forced(),
                 name="piratenet_block",
+                stages=tuple(_block_stage(i, a3) for i, a3 in enumerate(acts)),
             )
         return cache[key]

@@ -72,11 +72,19 @@ class SegmentSpec:
     ``index``: the JetIndex every carry shares.
     ``n_in`` / ``n_out``: number of carry Jets in and out.
     ``block_m``: batch rows per kernel invocation.
+    ``stages``: optional decomposition of ``fn`` into sequential sub-stages
+      ``stage_i(ws, y, *rest) -> (y,)`` (each closing over the slice of
+      ``ws`` it uses; ``rest`` carries pass through unchanged). When given,
+      the backward kernel recomputes only stage BOUNDARIES and runs one vjp
+      per stage in reverse — peak VMEM drops from the whole segment's
+      residuals to one stage's, which is what allows a wide backward batch
+      tile (VERDICT r3 item 3: the whole-group vjp OOMed scoped VMEM at
+      tile 128; streaming per-stage backward runs tile 256).
     """
 
     def __init__(self, fn: Callable, index: "jetmod.JetIndex", n_in: int, n_out: int,
                  block_m: int = 512, block_m_bwd: int = None, interpret: bool = False,
-                 name: str = "jet_seg"):
+                 name: str = "jet_seg", stages: Tuple[Callable, ...] = None):
         self.fn = fn
         self.index = index
         self.n_in = n_in
@@ -86,6 +94,7 @@ class SegmentSpec:
         self.block_m_bwd = block_m_bwd
         self.interpret = interpret
         self.name = name
+        self.stages = tuple(stages) if stages else None
 
     # identity hash/eq: custom_vjp nondiff arg
 
@@ -292,20 +301,68 @@ def _fwd(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
 
 
 def _bwd_tile(spec, precision) -> int:
-    """Backward-kernel batch tile. The bwd kernel holds the segment's vjp
-    residuals in VMEM — roughly 4x the forward working set — so it tiles the
-    batch finer; and "highest"-precision dots (the library's accuracy-default
-    matmul_precision=high maps there) lower to multi-pass f32 matmuls whose
-    scratch roughly doubles the scoped-VMEM stack (measured: the flagship
-    allen_cahn_piratenet recipe at batch 8192 hit 28.9M vs the 16M scoped
-    limit at tile 64), so halve again. An explicit block_m_bwd (or the
+    """Backward-kernel batch tile. The whole-segment-vjp kernel holds the
+    segment's residuals in VMEM — roughly 4x the forward working set — so it
+    tiles the batch finer; and "highest"-precision dots (the library's
+    accuracy-default matmul_precision=high maps there) lower to multi-pass
+    f32 matmuls whose scratch roughly doubles the scoped-VMEM stack
+    (measured: the flagship allen_cahn_piratenet recipe at batch 8192 hit
+    28.9M vs the 16M scoped limit at tile 64), so halve again. The STAGED
+    backward (spec.stages) keeps only one stage's residuals live and runs
+    the forward tile width. An explicit block_m_bwd (or the
     PSCI_JET_BLOCK_M_BWD env in the arch glue) still wins."""
     if spec.block_m_bwd is not None:
         return spec.block_m_bwd
+    if spec.stages is not None:
+        bm = spec.block_m
+        if precision == "highest":
+            bm = max(bm // 2, 32)
+        return bm
     bm = max(spec.block_m // 4, 64)
     if precision == "highest":
         bm = max(bm // 2, 32)
     return bm
+
+
+def _staged_vjp(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays, g_arrays):
+    """Streaming per-stage backward for one batch tile: recompute the stage
+    BOUNDARY jets forward (cheap — no residuals kept), then walk stages in
+    reverse, one ``jax.vjp`` per stage. Only one stage's vjp residuals are
+    live at a time; dws from every stage sum (weights are shared via the
+    full-``ws`` closure convention); ``rest`` carry cotangents (PirateNet's
+    u, v gates) accumulate across stages."""
+    import os
+
+    ws = _unflatten_ws(treedef, orig_shapes, ws_arrays)
+    carries = _streams_to_carries(stream_arrays, spec.index, spec.n_in)
+    y, rest = carries[0], carries[1:]
+    mode = os.environ.get("PSCI_JET_PALLAS_MATMUL", "fused")
+
+    def stage_f(i, w, y_in, *r):
+        with jax.default_matmul_precision(precision), jetmod.matmul_mode(mode):
+            (out,) = spec.stages[i](w, y_in, *r)
+        return out
+
+    boundaries = [y]
+    for i in range(len(spec.stages)):
+        boundaries.append(stage_f(i, ws, boundaries[-1], *rest))
+
+    (g_y,) = _streams_to_carries(g_arrays, spec.index, spec.n_out)
+    dws_total = None
+    drest_total = None
+    for i in reversed(range(len(spec.stages))):
+        _, vjp_fn = jax.vjp(lambda w, y_in, *r: stage_f(i, w, y_in, *r),
+                            ws, boundaries[i], *rest)
+        dws_i, g_y, *dr = vjp_fn(g_y)
+        dws_total = dws_i if dws_total is None else jax.tree.map(
+            jnp.add, dws_total, dws_i)
+        if dr:
+            drest_total = tuple(dr) if drest_total is None else tuple(
+                jax.tree.map(jnp.add, a, b) for a, b in zip(drest_total, dr))
+    d_carries = (g_y,) + (drest_total or ())
+    dws_flat = [jnp.asarray(l).reshape(a.shape)
+                for l, a in zip(jax.tree_util.tree_leaves(dws_total), ws_arrays)]
+    return dws_flat, _carries_to_streams(d_carries)
 
 
 def _bwd(spec, treedef, orig_shapes, precision, res, g_outs):
@@ -328,11 +385,14 @@ def _bwd(spec, treedef, orig_shapes, precision, res, g_outs):
         ss = [r[:] for r in s_refs]
         gs = tuple(r[:] for r in g_refs)
 
-        def f(w_arrays, s_arrays):
-            return _apply_fn(spec, treedef, orig_shapes, precision, w_arrays, s_arrays)
+        if spec.stages is not None and spec.n_out == 1:
+            dws, dss = _staged_vjp(spec, treedef, orig_shapes, precision, ws, ss, gs)
+        else:
+            def f(w_arrays, s_arrays):
+                return _apply_fn(spec, treedef, orig_shapes, precision, w_arrays, s_arrays)
 
-        _, vjp_fn = jax.vjp(f, ws, ss)
-        dws, dss = vjp_fn(gs)
+            _, vjp_fn = jax.vjp(f, ws, ss)
+            dws, dss = vjp_fn(gs)
         for r, d in zip(ds_refs, dss):
             r[:] = d
         # weight grads accumulate across the (sequential) batch grid
