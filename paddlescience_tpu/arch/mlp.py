@@ -234,12 +234,16 @@ def _jet_pallas_ok(model, layers_acts, linears=()) -> bool:
 
     if not jet_pallas.pallas_available():
         return False
-    # narrow nets (hidden < 128 lanes, e.g. the cylinder 5x50 MLP) waste most
-    # of the VPU/MXU lane dimension in a hand-rolled kernel — XLA's fused
-    # path is already fine there
+    # narrow nets (hidden < 128 lanes, e.g. the cylinder 5x50 MLP) waste MXU
+    # lanes in a hand-rolled kernel, so they are gated out by default — but
+    # the kernel still wins when XLA's alternative bounces every small
+    # stream array through HBM, so the autotuner's jet_pallas candidate
+    # lifts the gate (PSCI_JET_PALLAS_MIN_LANES=0) and lets the stopwatch
+    # decide (solver/autotune.py)
     if not jet_pallas.interpret_forced():
+        min_lanes = int(deriv_path.flag("PSCI_JET_PALLAS_MIN_LANES", "128"))
         for l in linears:
-            if _linear_out_features(l) < 128:
+            if _linear_out_features(l) < min_lanes:
                 return False
     # parametric activations (Stan/Swish) close over Params the segment spec
     # can't route gradients to — those stay on the pure-JAX path

@@ -44,6 +44,9 @@ CANDIDATES: Dict[str, Dict[str, str]] = {
         "PSCI_JET": "1",
         "PSCI_JET_PALLAS": "1",
         "PSCI_JET_PALLAS_MLP": "1",
+        # measured, not assumed: narrow nets (<128 lanes) may still win in
+        # the kernel when XLA's path is HBM-bound between small matmuls
+        "PSCI_JET_PALLAS_MIN_LANES": "0",
     },
 }
 

@@ -138,7 +138,9 @@ def autotune(solver, batches, fused: int) -> str:
         deriv_path.set_default(deriv_path.CANDIDATES[names[0]])
         return names[0]
 
-    sig = signature(solver, batches)
+    # the candidate set is part of the key: widening it (e.g. lifting the
+    # narrow-net Pallas gate) must invalidate previously cached winners
+    sig = signature(solver, batches) + "-" + "+".join(names)
     cache = _load_cache()
     hit = cache.get(sig)
     if hit and hit.get("winner") in names:
