@@ -24,6 +24,8 @@ def build_solver(epochs=3, output_dir="./output_earthformer_enso"):
         target_shape=(OUT_LEN, LAT, LON, 1),
         base_units=32, num_heads=4, enc_depth=(1, 1), dec_depth=(1, 1),
         cuboid_size=(2, 4, 4),
+        # reference default attention patterns (cuboid_transformer.py:560-562)
+        self_pattern="axial", cross_self_pattern="axial", cross_pattern="cross_1x1",
     )
     dl = {
         "dataset": {"name": "ENSODataset", "input_keys": ("sst",), "label_keys": ("target",),

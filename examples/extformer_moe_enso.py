@@ -22,7 +22,9 @@ def build_solver(epochs=3, iters_per_epoch=3, output_dir="./outputs_extformer_mo
         input_shape=(IN_LEN, LAT, LON, 1),
         target_shape=(OUT_LEN, LAT, LON, 1),
         base_units=base_units, num_heads=4, enc_depth=(1, 1), dec_depth=(1, 1),
-        cuboid_size=(2, 4, 4), num_experts=num_experts,
+        cuboid_size=(2, 4, 4),
+        # reference default attention patterns (cuboid_transformer.py:560-562)
+        self_pattern="axial", cross_self_pattern="axial", cross_pattern="cross_1x1", num_experts=num_experts,
     )
     dl = {
         "dataset": {"name": "ENSODataset", "input_keys": ("sst",), "label_keys": ("target",),

@@ -119,12 +119,16 @@ def discover_cases():
 
 
 def run_one(case: str, tier: str) -> dict:
-    """Worker: run a case in-process and print the result marker."""
+    """Worker: run a case in-process and print the result marker.
+    ``GATE_EXTRA_OVERRIDES`` (space-separated) appends/overrides CLI args —
+    the mid-fidelity TPU queue (tools/tpu_midfi.py) uses it to raise
+    epochs/dataset sizes above the smoke tier."""
     os.chdir(os.path.join(ROOT, "examples"))
     sys.path.insert(0, os.path.join(ROOT, "examples"))
     sys.path.insert(0, ROOT)
     overrides = [] if tier == "full" else SMOKE_OVERRIDES.get(case, _DEFAULT)
-    sys.argv = [case] + ["mode=train"] + overrides
+    extra = os.environ.get("GATE_EXTRA_OVERRIDES", "").split()
+    sys.argv = [case] + ["mode=train"] + overrides + extra
     import importlib
 
     t0 = time.perf_counter()
