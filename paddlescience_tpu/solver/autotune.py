@@ -90,6 +90,10 @@ def signature(solver, batches) -> str:
         "batches=" + _shape_sig(batches),
         "agg=" + type(solver.loss_aggregator).__name__,
         "gran=" + str(getattr(solver, "loss_granularity", "constraint")),
+        # kernel tuning knobs change the measured program (and whether a
+        # candidate compiles at all) — a different tile must re-measure
+        "env=" + ",".join(f"{k}={v}" for k, v in sorted(os.environ.items())
+                          if k.startswith("PSCI_JET")),
     ]
     for name, cst in solver.constraint.items():
         if cst.data_iter is None:  # device-sampled: shape via abstract eval
