@@ -166,6 +166,18 @@ def _linear_eff(layer):
     return w, (layer.bias if layer._use_bias else None)
 
 
+def _stage_leaf_ranges(stage_subtrees):
+    """Map each stage's weight subtree to its index range in the flattened
+    full-``ws`` leaf list (``SegmentSpec.stage_ws_idx``). Leaf counts are
+    computed per subtree because ``None`` biases drop out of the flatten."""
+    idx, start = [], 0
+    for sub in stage_subtrees:
+        n = len(jax.tree_util.tree_leaves(sub))
+        idx.append(tuple(range(start, start + n)))
+        start += n
+    return tuple(idx)
+
+
 def _jet_linear(layer, jx: "jet.Jet") -> "jet.Jet":
     """Apply any of the three linear flavors to a Jet: resolve the effective
     weight once, then one stacked matmul."""
@@ -292,6 +304,11 @@ def _jet_pallas_segments(model, jx, linears, acts, gated, uv=()):
                 interpret=jet_pallas.interpret_forced(),
                 name="mlp_seg",
                 stages=tuple(_layer_stage(i, a) for i, a in enumerate(seg_a)),
+                # each stage's vjp differentiates only its own (w, b) leaves —
+                # keeps the streaming backward's stack to one layer's grads
+                stage_ws_idx=_stage_leaf_ranges(
+                    [_linear_eff(l) for l in seg_l]
+                ),
             )
         ws = []
         for l in seg_l:
@@ -769,5 +786,10 @@ class PirateNet(base.Arch):
                 interpret=jet_pallas.interpret_forced(),
                 name="piratenet_block",
                 stages=tuple(_block_stage(i, a3) for i, a3 in enumerate(acts)),
+                # each stage's vjp differentiates only its block's leaves —
+                # keeps the streaming backward's stack to one block's grads
+                stage_ws_idx=_stage_leaf_ranges(
+                    [_piratenet_block_ws(b) for b in seg_blocks]
+                ),
             )
         return cache[key]

@@ -80,11 +80,20 @@ class SegmentSpec:
       residuals to one stage's, which is what allows a wide backward batch
       tile (VERDICT r3 item 3: the whole-group vjp OOMed scoped VMEM at
       tile 128; streaming per-stage backward runs tile 256).
+    ``stage_ws_idx``: for each stage, the indices (into the FLATTENED ``ws``
+      leaf list) of the weights that stage actually uses. Without it, each
+      per-stage vjp differentiates the FULL ``ws`` pytree and Mosaic
+      materializes an all-weights zero gradient tree per stage on the kernel
+      stack (measured: PirateNet 3-block group at bwd tile 128 dies with
+      "out of memory in vmem while allocating on stack for transpose_jvp");
+      with it, a stage's vjp touches only its own leaves and the peak stack
+      is one stage's dws, which is what the streaming design promised.
     """
 
     def __init__(self, fn: Callable, index: "jetmod.JetIndex", n_in: int, n_out: int,
                  block_m: int = 512, block_m_bwd: int = None, interpret: bool = False,
-                 name: str = "jet_seg", stages: Tuple[Callable, ...] = None):
+                 name: str = "jet_seg", stages: Tuple[Callable, ...] = None,
+                 stage_ws_idx: Tuple[Tuple[int, ...], ...] = None):
         self.fn = fn
         self.index = index
         self.n_in = n_in
@@ -95,6 +104,7 @@ class SegmentSpec:
         self.interpret = interpret
         self.name = name
         self.stages = tuple(stages) if stages else None
+        self.stage_ws_idx = tuple(tuple(s) for s in stage_ws_idx) if stage_ws_idx else None
 
     # identity hash/eq: custom_vjp nondiff arg
 
@@ -247,6 +257,18 @@ def _segment_cost(spec, treedef, orig_shapes, precision, ws_flat, in_streams, ba
         return None
 
 
+def _compiler_params(pltpu):
+    """Raise the kernel's VMEM budget above XLA's conservative ~16 MiB scoped
+    default: v5e/v5p cores carry 128 MiB of VMEM, and the jet backward's
+    residual stack at a wide batch tile (the whole point of the staged
+    backward — MXU-efficient m>=128 dots) legitimately needs 30-60 MiB.
+    Mosaic still errors if the true hardware budget is exceeded."""
+    import os
+
+    mb = int(os.environ.get("PSCI_JET_VMEM_LIMIT_MB", "100"))
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 2**20)
+
+
 def _pad_streams(streams, bm):
     n = streams[0].shape[0]
     pad = (-n) % bm
@@ -290,6 +312,7 @@ def _forward(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
         in_specs=w_specs + s_specs,
         out_specs=o_specs,
         cost_estimate=_segment_cost(spec, treedef, orig_shapes, precision, ws_flat, in_streams),
+        compiler_params=None if spec.interpret else _compiler_params(pltpu),
         interpret=spec.interpret,
     )(*ws_flat, *in_streams)
     return tuple(o[:n] for o in outs)
@@ -311,9 +334,11 @@ def _bwd_tile(spec, precision) -> int:
     backward (spec.stages) keeps only one stage's residuals live and runs
     the forward tile width. An explicit block_m_bwd (or the
     PSCI_JET_BLOCK_M_BWD env in the arch glue) still wins."""
+    import os
+
     if spec.block_m_bwd is not None:
         return spec.block_m_bwd
-    if spec.stages is not None:
+    if spec.stages is not None and os.environ.get("PSCI_JET_STAGED", "1") == "1":
         bm = spec.block_m
         if precision == "highest":
             bm = max(bm // 2, 32)
@@ -328,12 +353,14 @@ def _staged_vjp(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays,
     """Streaming per-stage backward for one batch tile: recompute the stage
     BOUNDARY jets forward (cheap — no residuals kept), then walk stages in
     reverse, one ``jax.vjp`` per stage. Only one stage's vjp residuals are
-    live at a time; dws from every stage sum (weights are shared via the
-    full-``ws`` closure convention); ``rest`` carry cotangents (PirateNet's
-    u, v gates) accumulate across stages."""
+    live at a time. With ``spec.stage_ws_idx`` each stage's vjp is taken
+    w.r.t. only that stage's own weight leaves (the others enter as
+    closed-over constants), so no all-weights zero-gradient tree is ever
+    materialized; ``rest`` carry cotangents (PirateNet's u, v gates)
+    accumulate across stages."""
     import os
 
-    ws = _unflatten_ws(treedef, orig_shapes, ws_arrays)
+    ws_leaves = [jnp.asarray(a).reshape(s) for a, s in zip(ws_arrays, orig_shapes)]
     carries = _streams_to_carries(stream_arrays, spec.index, spec.n_in)
     y, rest = carries[0], carries[1:]
     mode = os.environ.get("PSCI_JET_PALLAS_MATMUL", "fused")
@@ -343,25 +370,50 @@ def _staged_vjp(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays,
             (out,) = spec.stages[i](w, y_in, *r)
         return out
 
+    def make_ws(repl=()):
+        leaves = list(ws_leaves)
+        for j, leaf in repl:
+            leaves[j] = leaf
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    full_ws = make_ws()
     boundaries = [y]
     for i in range(len(spec.stages)):
-        boundaries.append(stage_f(i, ws, boundaries[-1], *rest))
+        boundaries.append(stage_f(i, full_ws, boundaries[-1], *rest))
 
     (g_y,) = _streams_to_carries(g_arrays, spec.index, spec.n_out)
-    dws_total = None
+    dws_leaves = [None] * len(ws_leaves)
     drest_total = None
     for i in reversed(range(len(spec.stages))):
-        _, vjp_fn = jax.vjp(lambda w, y_in, *r: stage_f(i, w, y_in, *r),
-                            ws, boundaries[i], *rest)
-        dws_i, g_y, *dr = vjp_fn(g_y)
-        dws_total = dws_i if dws_total is None else jax.tree.map(
-            jnp.add, dws_total, dws_i)
+        if spec.stage_ws_idx is not None:
+            idxs = spec.stage_ws_idx[i]
+
+            def f(stage_leaves, y_in, *r, _i=i, _idxs=idxs):
+                return stage_f(_i, make_ws(tuple(zip(_idxs, stage_leaves))), y_in, *r)
+
+            _, vjp_fn = jax.vjp(
+                f, tuple(ws_leaves[j] for j in idxs), boundaries[i], *rest
+            )
+            d_leaves, g_y, *dr = vjp_fn(g_y)
+            for j, d in zip(idxs, d_leaves):
+                dws_leaves[j] = d if dws_leaves[j] is None else dws_leaves[j] + d
+        else:
+            _, vjp_fn = jax.vjp(
+                lambda w, y_in, *r, _i=i: stage_f(_i, w, y_in, *r),
+                full_ws, boundaries[i], *rest,
+            )
+            dtree, g_y, *dr = vjp_fn(g_y)
+            for j, d in enumerate(jax.tree_util.tree_leaves(dtree)):
+                dws_leaves[j] = d if dws_leaves[j] is None else dws_leaves[j] + d
         if dr:
             drest_total = tuple(dr) if drest_total is None else tuple(
                 jax.tree.map(jnp.add, a, b) for a, b in zip(drest_total, dr))
     d_carries = (g_y,) + (drest_total or ())
-    dws_flat = [jnp.asarray(l).reshape(a.shape)
-                for l, a in zip(jax.tree_util.tree_leaves(dws_total), ws_arrays)]
+    dws_flat = []
+    for j, (d, a) in enumerate(zip(dws_leaves, ws_arrays)):
+        if d is None:
+            d = jnp.zeros(orig_shapes[j], ws_leaves[j].dtype)
+        dws_flat.append(jnp.asarray(d).reshape(a.shape))
     return dws_flat, _carries_to_streams(d_carries)
 
 
@@ -385,7 +437,10 @@ def _bwd(spec, treedef, orig_shapes, precision, res, g_outs):
         ss = [r[:] for r in s_refs]
         gs = tuple(r[:] for r in g_refs)
 
-        if spec.stages is not None and spec.n_out == 1:
+        import os
+
+        staged = os.environ.get("PSCI_JET_STAGED", "1") == "1"
+        if staged and spec.stages is not None and spec.n_out == 1:
             dws, dss = _staged_vjp(spec, treedef, orig_shapes, precision, ws, ss, gs)
         else:
             def f(w_arrays, s_arrays):
@@ -432,6 +487,7 @@ def _bwd(spec, treedef, orig_shapes, precision, res, g_outs):
         in_specs=w_specs + s_specs + g_specs,
         out_specs=dw_specs + ds_specs,
         cost_estimate=_segment_cost(spec, treedef, orig_shapes, precision, ws_flat, in_streams_p, backward=True),
+        compiler_params=None if spec.interpret else _compiler_params(pltpu),
         interpret=spec.interpret,
     )(*ws_flat, *in_streams_p, *g_outs_p)
     dws = tuple(outs[:n_w])

@@ -180,13 +180,27 @@ def test_staged_backward_parity_and_tile():
         (yo,) = _three_block_group(ws_all, y, u, v)
         return sum(jnp.sum(s ** 2) for s in yo.streams)
 
+    # sliced-ws variant: each stage's vjp differentiates only its own block's
+    # leaves (the production path — kills the per-stage all-weights zero tree)
+    L = len(jax.tree_util.tree_leaves(w0))
+    spec_sliced = jp.SegmentSpec(_three_block_group, idx, n_in=3, n_out=1,
+                                 block_m=32, interpret=True,
+                                 stages=(stage(0), stage(1), stage(2)),
+                                 stage_ws_idx=tuple(
+                                     tuple(range(i * L, (i + 1) * L))
+                                     for i in range(3)))
+
     vs, gs = jax.value_and_grad(loss(spec_staged), argnums=(0, 1, 2, 3))(ws_all, y, u, v)
     vw, gw = jax.value_and_grad(loss(spec_whole), argnums=(0, 1, 2, 3))(ws_all, y, u, v)
     vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(ws_all, y, u, v)
+    vx, gx = jax.value_and_grad(loss(spec_sliced), argnums=(0, 1, 2, 3))(ws_all, y, u, v)
     np.testing.assert_allclose(vs, vr, rtol=1e-5)
     fs, _ = ravel_pytree(gs)
     fw, _ = ravel_pytree(gw)
     fr, _ = ravel_pytree(gr)
+    fx, _ = ravel_pytree(gx)
+    # sliced and full-ws staged backwards are the same math stage-by-stage
+    np.testing.assert_allclose(fx, fs, rtol=1e-6, atol=1e-6)
     # staged must match the whole-group vjp kernel elementwise (same math,
     # different residual lifetime — measured max 2e-4 rel in interpret mode)
     np.testing.assert_allclose(fs, fw, rtol=2e-3, atol=2e-3)
