@@ -53,6 +53,23 @@ def main(epochs=3):
     e4 = np.abs(ref - out4).max()
     print(f"export/infer agreement: export {e2:.2e}, predictor {e3:.2e}, bf16 {e4:.2e}")
     assert e2 < 1e-6 and e3 < 1e-6 and e4 < 0.05
+
+    # path 5: portable TF SavedModel lane (reference paddle2onnx analog,
+    # solver.py:939-958) — export, reload with TensorFlow, compare
+    e5 = None
+    try:
+        import tensorflow as tf
+    except Exception:
+        print("tensorflow unavailable; skipping SavedModel lane")
+    else:
+        sm_path = os.path.join(solver.output_dir, "export_demo_sm")
+        solver.export(input_spec={k: v[:1] for k, v in inp.items()},
+                      export_path=sm_path, format="savedmodel")
+        loaded = tf.saved_model.load(sm_path + ".savedmodel")
+        out5 = loaded.f(tf.constant(inp["x"]), tf.constant(inp["y"]))["u"].numpy()
+        e5 = np.abs(ref - out5).max()
+        print(f"savedmodel agreement: {e5:.2e}")
+        assert e5 < 1e-5
     return e2, e3, e4
 def main_cli():
     import paddlescience_tpu as psci

@@ -25,6 +25,10 @@ def build_solver(epochs=3, iters_per_epoch=3, output_dir="./outputs_extformer_mo
         cuboid_size=(2, 4, 4),
         # reference default attention patterns (cuboid_transformer.py:560-562)
         self_pattern="axial", cross_self_pattern="axial", cross_pattern="cross_1x1", num_experts=num_experts,
+        # reference training regularization (cuboid_transformer.py:516-517 /
+        # extformer_moe_enso_pretrain.yaml:79-81): dropout active whenever the
+        # solver installs a per-step train RNG
+        attn_drop=0.1, proj_drop=0.1, ffn_drop=0.1,
     )
     dl = {
         "dataset": {"name": "ENSODataset", "input_keys": ("sst",), "label_keys": ("target",),

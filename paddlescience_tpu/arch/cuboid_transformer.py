@@ -43,11 +43,14 @@ TPU-native design choices vs the reference's implementation:
   * remat=True wraps each block in jax.checkpoint (reference fleet
     recompute, cuboid_transformer_encoder.py:1170-1210).
 
-Known simplifications (documented deviations): ``separate_global_qkv`` /
-``global_dim_ratio != 1`` and the "nearest" padding type are not
-implemented; dropout is omitted (the reference trains these models with
-attn_drop=proj_drop=ffn_drop=0.1 — EMA + weight decay cover regularization
-in the recipes shipped here).
+Training fidelity: ``attn_drop`` / ``proj_drop`` / ``ffn_drop`` match the
+reference's dropout sites (after masked softmax, after the output
+projections, inside the FFNs — encoder.py:592-630,956-1060); dropout is
+active whenever a train RNG is installed via ``set_train_rng`` and the
+rates are nonzero. ``separate_global_qkv`` / ``global_dim_ratio`` /
+``use_global_self_attn`` follow encoder.py:558-667. Known simplification:
+the "nearest" padding type is not implemented (all shipped configs use
+"ignore"/"zeros").
 """
 
 from __future__ import annotations
@@ -321,22 +324,26 @@ def _self_attn_mask(data_shape, cuboid_size, shift_size, strategy, padding_type)
         )
     data_mask = _np_cuboid_reorder(data_mask, cuboid_size, strategy)[0, :, :, 0]
 
+    # Slice triplets verbatim from the reference (encoder.py:355-371): for a
+    # zero-shift axis the middle slice(-cub, -0) is empty and the final
+    # slice(-0, None) re-covers the WHOLE axis, so that axis contributes no
+    # region split — required for dilated cuboids straddling the -cub boundary.
     shift_mask = np.zeros((1, Tp, Hp, Wp, 1))
     cnt = 0
     for t in (
         slice(-cuboid_size[0]),
-        slice(-cuboid_size[0], -shift_size[0] or None),
-        slice(-shift_size[0] or Tp, None),
+        slice(-cuboid_size[0], -shift_size[0]),
+        slice(-shift_size[0], None),
     ):
         for h in (
             slice(-cuboid_size[1]),
-            slice(-cuboid_size[1], -shift_size[1] or None),
-            slice(-shift_size[1] or Hp, None),
+            slice(-cuboid_size[1], -shift_size[1]),
+            slice(-shift_size[1], None),
         ):
             for w in (
                 slice(-cuboid_size[2]),
-                slice(-cuboid_size[2], -shift_size[2] or None),
-                slice(-shift_size[2] or Wp, None),
+                slice(-cuboid_size[2], -shift_size[2]),
+                slice(-shift_size[2], None),
             ):
                 shift_mask[:, t, h, w, :] = cnt
                 cnt += 1
@@ -374,17 +381,19 @@ def _cross_attn_mask(T_x, T_mem, H, W, n_temporal, cuboid_hw, shift_hw, strategy
     mem_mask = _mk_mask(T_mem, pad_t_mem, True, mem_cuboid)
     x_mask = _mk_mask(T_x, pad_t_x, False, x_cuboid)
 
+    # Verbatim reference slices (decoder.py:136-147): zero-shift axes end with
+    # slice(-0, None) = the whole axis, so they contribute no region split.
     shift_mask = np.zeros((1, 1, Hp, Wp, 1))
     cnt = 0
     for h in (
         slice(-cuboid_hw[0]),
-        slice(-cuboid_hw[0], -shift_hw[0] or None),
-        slice(-shift_hw[0] or Hp, None),
+        slice(-cuboid_hw[0], -shift_hw[0]),
+        slice(-shift_hw[0], None),
     ):
         for w in (
             slice(-cuboid_hw[1]),
-            slice(-cuboid_hw[1], -shift_hw[1] or None),
-            slice(-shift_hw[1] or Wp, None),
+            slice(-cuboid_hw[1], -shift_hw[1]),
+            slice(-shift_hw[1], None),
         ):
             shift_mask[:, :, h, w, :] = cnt
             cnt += 1
@@ -442,13 +451,26 @@ def _relpos_index_cross(t_x, t_mem, cuboid_hw, max_t_rel):
     return idx.astype(np.int32)
 
 
-def _masked_mha(q, k, v, heads, mask=None, bias=None, extra_kv=None):
+def _dropout(x, rate, key):
+    """Inverted dropout; identity when no key (eval) or rate 0."""
+    if key is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def _masked_mha(q, k, v, heads, mask=None, bias=None, extra_kv=None,
+                l2g_q=None, attn_drop=0.0, drop_key=None):
     """Cuboid-batched multi-head attention. q (B, nc, Lq, C), k/v
     (B, nc, Lk, C); ``mask`` (nc, Lq, Lk) static bool or None; ``bias``
     (heads, Lq, Lk) or None; ``extra_kv``: optional (B, G, C) pair of
     (k_g, v_g) global tokens appended to every cuboid's keys (never
-    masked). Fully-masked query rows produce zeros (reference
-    masked_softmax semantics, encoder.py:383-406)."""
+    masked); ``l2g_q``: optional separate query projection (B, nc, Lq, C)
+    used for the global-key scores (reference separate_global_qkv,
+    encoder.py:746-757). ``attn_drop`` applies to the post-softmax weights
+    (reference encoder.py:841). Fully-masked query rows produce zeros
+    (reference masked_softmax semantics, encoder.py:383-406)."""
     B, nc, Lq, C = q.shape
     Lk = k.shape[2]
     d = C // heads
@@ -463,7 +485,8 @@ def _masked_mha(q, k, v, heads, mask=None, bias=None, extra_kv=None):
         G = kg.shape[1]
         kgh = kg.reshape(B, G, heads, d)
         vgh = vg.reshape(B, G, heads, d)
-        g_score = jnp.einsum("bnlhd,bghd->bnhlg", qh, kgh) / math.sqrt(d)
+        qg_h = (l2g_q if l2g_q is not None else q).reshape(B, nc, Lq, heads, d)
+        g_score = jnp.einsum("bnlhd,bghd->bnhlg", qg_h, kgh) / math.sqrt(d)
         score = jnp.concatenate([score, g_score], axis=-1)
     if mask is not None:
         m = jnp.asarray(mask)
@@ -473,6 +496,7 @@ def _masked_mha(q, k, v, heads, mask=None, bias=None, extra_kv=None):
         att = jax.nn.softmax(score, axis=-1) * m[None, :, None]
     else:
         att = jax.nn.softmax(score, axis=-1)
+    att = _dropout(att, attn_drop, drop_key)
     if extra_kv is not None:
         att_l, att_g = att[..., :Lk], att[..., Lk:]
         out = jnp.einsum("bnhlm,bnmhd->bnlhd", att_l, vh) + jnp.einsum(
@@ -493,7 +517,14 @@ class CuboidSelfAttention(Module):
                  shift_size: Union[bool, Tuple[int, int, int]] = (0, 0, 0),
                  strategy: Tuple[str, str, str] = ("l", "l", "l"),
                  use_global: bool = False, use_relative_pos: bool = True,
-                 padding_type: str = "ignore", *, rngs: Rngs):
+                 padding_type: str = "ignore", attn_drop: float = 0.0,
+                 proj_drop: float = 0.0, separate_global_qkv: bool = False,
+                 global_dim_ratio: int = 1, use_global_self_attn: bool = False,
+                 *, rngs: Rngs):
+        if global_dim_ratio != 1 and not separate_global_qkv:
+            raise ValueError(
+                "global_dim_ratio != 1 requires separate_global_qkv=True "
+                "(reference encoder.py:652-655)")
         self.qkv = Linear(dim, 3 * dim, rngs=rngs)
         self.proj = Linear(dim, dim, rngs=rngs)
         self.h = num_heads
@@ -505,21 +536,40 @@ class CuboidSelfAttention(Module):
         self.padding_type = padding_type
         self.use_global = use_global
         self.use_relative_pos = use_relative_pos
+        self.attn_drop = float(attn_drop)
+        self.proj_drop = float(proj_drop)
+        self.separate_global_qkv = separate_global_qkv
+        self.global_dim_ratio = int(global_dim_ratio)
+        self.use_global_self_attn = use_global_self_attn
         if use_relative_pos:
             t, h, w = self.cuboid
             n = (2 * t - 1) * (2 * h - 1) * (2 * w - 1)
             self.rel_bias = Param(
                 initializer.trunc_normal_(0.0, 0.02)(rngs.params(), (n, num_heads)))
         if use_global:
-            # separate kv projection for global tokens + global update attn
-            self.g_kv = Linear(dim, 2 * dim, rngs=rngs)
-            self.g_q = Linear(dim, dim, rngs=rngs)
-            self.g_out = Linear(dim, dim, rngs=rngs)
+            gdim = self.global_dim_ratio * dim
+            self.g_norm = LayerNorm(gdim)
+            if separate_global_qkv:
+                # reference encoder.py:594-621: dedicated nets for the
+                # local->global and global->local pathways
+                self.l2g_q = Linear(dim, dim, rngs=rngs)
+                self.l2g_global_kv = Linear(gdim, 2 * dim, rngs=rngs)
+                self.g2l_global_q = Linear(gdim, dim, rngs=rngs)
+                self.g2l_k = Linear(dim, dim, rngs=rngs)
+                self.g2l_v = Linear(dim, gdim, rngs=rngs)
+                if use_global_self_attn:
+                    self.g2g_global_qkv = Linear(gdim, 3 * gdim, rngs=rngs)
+            else:
+                # shared projection of the global vectors (encoder.py:623-626)
+                self.global_qkv = Linear(dim, 3 * dim, rngs=rngs)
+            self.global_proj = Linear(gdim, gdim, rngs=rngs)
 
-    def __call__(self, x, g=None, qkv_vol=None):
+    def __call__(self, x, g=None, qkv_vol=None, key=None):
         """``qkv_vol``: optional precomputed (B, T, H, W, 3C) projection —
         the attention-MoE path routes the qkv projection per token on the
-        full volume before cuboid decomposition."""
+        full volume before cuboid decomposition. ``key``: train-mode PRNG
+        key enabling attn/proj dropout. Returns ``(y, g_update)`` — the
+        block adds both residuals (reference encoder.py:1166-1187)."""
         B, T, H, W, C = x.shape
         cub, shf = _clamp_cuboid((T, H, W), self.cuboid, self.shift, self.strategy)
         pad_t = (cub[0] - T % cub[0]) % cub[0]
@@ -558,25 +608,73 @@ class CuboidSelfAttention(Module):
                        + rel[..., 2]).astype(np.int32)
             bias = self.rel_bias[jnp.asarray(idx)].transpose(2, 0, 1)  # (heads, vol, vol)
 
-        extra_kv = None
+        k0 = k1 = k2 = k3 = None
+        if key is not None:
+            k0, k1, k2, k3 = jax.random.split(key, 4)
+
+        extra_kv = l2g_q = None
+        gn = qg = None
         if self.use_global and g is not None:
-            g_kv = self.g_kv(g).reshape(B, g.shape[1], 2, C)
-            extra_kv = (g_kv[:, :, 0], g_kv[:, :, 1])
-        out = self.proj(_masked_mha(q, k, v, self.h, mask, bias, extra_kv))
+            gn = self.g_norm(g)
+            G = g.shape[1]
+            if self.separate_global_qkv:
+                g_kv = self.l2g_global_kv(gn).reshape(B, G, 2, C)
+                extra_kv = (g_kv[:, :, 0], g_kv[:, :, 1])
+                l2g_q = self.l2g_q(tok)
+            else:
+                g_qkv = self.global_qkv(gn).reshape(B, G, 3, C)
+                qg, extra_kv = g_qkv[:, :, 0], (g_qkv[:, :, 1], g_qkv[:, :, 2])
+        out = _masked_mha(q, k, v, self.h, mask, bias, extra_kv, l2g_q=l2g_q,
+                          attn_drop=self.attn_drop, drop_key=k0)
+        out = _dropout(self.proj(out), self.proj_drop, k1)
         y = cuboid_reorder_reverse(out, cub, self.strategy, shape_p[1:4])
         if any(s > 0 for s in shf):
             y = jnp.roll(y, shift=(shf[0], shf[1], shf[2]), axis=(1, 2, 3))
         if pad_t or pad_h or pad_w:
             y = y[:, :T, :H, :W]
         if self.use_global and g is not None:
-            # globals update by attending over ALL tokens (reference
-            # global_vectors update path)
+            # global->local update: globals attend over ALL (unpadded) tokens,
+            # optionally concatenated with global self-attention
+            # (reference encoder.py:847-918). Attending over the original
+            # (unpadded, unshifted) volume is equivalent to the reference's
+            # validity-masked attention over the padded one.
+            gdim = self.global_dim_ratio * C
+            d = C // self.h
+            gd = self.global_dim_ratio * d
             flat = x.reshape(B, T * H * W, C)
-            gq = self.g_q(g)
-            g_new = g + self.g_out(
-                _masked_mha(gq[:, None], flat[:, None], flat[:, None], self.h)[:, 0])
-            return y, g_new
-        return y, g
+            if self.separate_global_qkv:
+                g_q = self.g2l_global_q(gn)              # (B, G, C)
+                k_all = self.g2l_k(flat)                 # (B, L, C)
+                v_all = self.g2l_v(flat)                 # (B, L, gdim)
+            else:
+                g_q = qg
+                kv = self.qkv(flat).reshape(B, -1, 3, C)
+                k_all, v_all = kv[:, :, 1], kv[:, :, 2]
+            L = k_all.shape[1]
+            qh = g_q.reshape(B, G, self.h, d)
+            kh = k_all.reshape(B, L, self.h, d)
+            vh = v_all.reshape(B, L, self.h, gd)
+            score = jnp.einsum("bghd,blhd->bhgl", qh, kh) / math.sqrt(d)
+            if self.use_global_self_attn:
+                if self.separate_global_qkv:
+                    gg = self.g2g_global_qkv(gn).reshape(B, G, 3, gdim)
+                    gg_q = gg[:, :, 0].reshape(B, G, self.h, gd)
+                    gg_k = gg[:, :, 1].reshape(B, G, self.h, gd)
+                    gg_v = gg[:, :, 2].reshape(B, G, self.h, gd)
+                else:
+                    gg_q = qg.reshape(B, G, self.h, d)
+                    gg_k = extra_kv[0].reshape(B, G, self.h, d)
+                    gg_v = extra_kv[1].reshape(B, G, self.h, gd)
+                # reference scales g2g scores by head_dim**-0.5 too
+                gg_score = jnp.einsum("bghd,bmhd->bhgm", gg_q, gg_k) / math.sqrt(d)
+                score = jnp.concatenate([score, gg_score], axis=-1)
+                vh = jnp.concatenate([vh, gg_v.reshape(B, G, self.h, gd)], axis=1)
+            att = jax.nn.softmax(score, axis=-1)
+            att = _dropout(att, self.attn_drop, k2)
+            g_upd = jnp.einsum("bhgl,blhd->bghd", att, vh).reshape(B, G, gdim)
+            g_upd = _dropout(self.global_proj(g_upd), self.proj_drop, k3)
+            return y, g_upd
+        return y, None
 
 
 class CuboidCrossAttention(Module):
@@ -591,10 +689,13 @@ class CuboidCrossAttention(Module):
                  strategy=("l", "l", "l"), n_temporal: int = 1,
                  max_temporal_relative: int = 50, cross_last_n_frames: Optional[int] = None,
                  use_global=False, use_relative_pos=True, padding_type="ignore",
-                 *, rngs: Rngs):
+                 attn_drop: float = 0.0, proj_drop: float = 0.0,
+                 global_dim_ratio: int = 1, *, rngs: Rngs):
         self.q = Linear(dim, dim, rngs=rngs)
         self.kv = Linear(dim, 2 * dim, rngs=rngs)
         self.proj = Linear(dim, dim, rngs=rngs)
+        self.attn_drop = float(attn_drop)
+        self.proj_drop = float(proj_drop)
         self.h = num_heads
         self.cuboid_hw = tuple(cuboid_hw)
         self.shift_hw = tuple(shift_hw)
@@ -611,9 +712,11 @@ class CuboidCrossAttention(Module):
             self.rel_bias = Param(
                 initializer.trunc_normal_(0.0, 0.02)(rngs.params(), (n, num_heads)))
         if use_global:
-            self.g_kv = Linear(dim, 2 * dim, rngs=rngs)
+            # globals live at global_dim_ratio*dim channels (reference
+            # decoder.py separate-global path)
+            self.g_kv = Linear(global_dim_ratio * dim, 2 * dim, rngs=rngs)
 
-    def __call__(self, x, mem, g=None):
+    def __call__(self, x, mem, g=None, key=None):
         if self.cross_last_n_frames is not None:
             n_last = min(self.cross_last_n_frames, mem.shape[1])
             mem = mem[:, -n_last:]
@@ -657,11 +760,16 @@ class CuboidCrossAttention(Module):
                        + rel[..., 2] + w0 - 1).astype(np.int32)
             bias = self.rel_bias[jnp.asarray(idx)].transpose(2, 0, 1)
 
+        k0 = k1 = None
+        if key is not None:
+            k0, k1 = jax.random.split(key)
         extra_kv = None
         if self.use_global and g is not None:
             g_kv = self.g_kv(g).reshape(B, g.shape[1], 2, C)
             extra_kv = (g_kv[:, :, 0], g_kv[:, :, 1])
-        out = self.proj(_masked_mha(q, k, v, self.h, mask, bias, extra_kv))
+        out = _masked_mha(q, k, v, self.h, mask, bias, extra_kv,
+                          attn_drop=self.attn_drop, drop_key=k0)
+        out = _dropout(self.proj(out), self.proj_drop, k1)
         y = cuboid_reorder_reverse(out, x_cub, self.strategy, x_p.shape[1:4])
         if any(s > 0 for s in shf):
             y = jnp.roll(y, shift=(shf[0], shf[1]), axis=(2, 3))
@@ -669,12 +777,22 @@ class CuboidCrossAttention(Module):
 
 
 class _FFN(Module):
-    def __init__(self, dim, hidden, *, rngs: Rngs):
-        self.fc1 = Linear(dim, hidden, rngs=rngs)
-        self.fc2 = Linear(hidden, dim, rngs=rngs)
+    """Positionwise FFN with the reference's two dropout sites: activation
+    dropout after gelu and output dropout after fc2 (reference
+    PositionwiseFFN with activation_dropout=dropout=ffn_drop,
+    cuboid_transformer.py:73-130)."""
 
-    def __call__(self, x):
-        return self.fc2(jax.nn.gelu(self.fc1(x)))
+    def __init__(self, dim, hidden, ffn_drop: float = 0.0, out_dim=None, *, rngs: Rngs):
+        self.fc1 = Linear(dim, hidden, rngs=rngs)
+        self.fc2 = Linear(hidden, out_dim or dim, rngs=rngs)
+        self.ffn_drop = float(ffn_drop)
+
+    def __call__(self, x, key=None):
+        ka = kb = None
+        if key is not None:
+            ka, kb = jax.random.split(key)
+        h = _dropout(jax.nn.gelu(self.fc1(x)), self.ffn_drop, ka)
+        return _dropout(self.fc2(h), self.ffn_drop, kb)
 
 
 class _CuboidBlock(Module):
@@ -689,23 +807,36 @@ class _CuboidBlock(Module):
 
     def __init__(self, dim, num_heads, layers, mlp_ratio,
                  moe_config=None, expert_shape=None, use_global=False,
-                 use_relative_pos=True, padding_type="ignore", *, rngs: Rngs):
+                 use_relative_pos=True, padding_type="ignore",
+                 attn_drop: float = 0.0, proj_drop: float = 0.0,
+                 ffn_drop: float = 0.0, separate_global_qkv: bool = False,
+                 global_dim_ratio: int = 1, use_global_self_attn: bool = False,
+                 use_global_vector_ffn: bool = True, *, rngs: Rngs):
         from paddlescience_tpu.arch.extformer_moe import MixtureFFN, MixtureLinear
 
         self.use_moe = bool(moe_config) and moe_config.get("use_ffn_moe", True)
         self.use_attn_moe = bool(moe_config) and moe_config.get("use_attn_moe", False)
         self.use_global = use_global
-        attns, ffns, ln1, ln2, qkv_moes = [], [], [], [], []
+        self.use_global_vector_ffn = use_global_vector_ffn
+        attns, ffns, ln1, ln2, qkv_moes, g_ffns = [], [], [], [], [], []
+        gdim = global_dim_ratio * dim
         for (cub, strat, shift) in layers:
             ln1.append(LayerNorm(dim))
             attns.append(CuboidSelfAttention(
                 dim, num_heads, cub, shift, strat, use_global=use_global,
-                use_relative_pos=use_relative_pos, padding_type=padding_type, rngs=rngs))
+                use_relative_pos=use_relative_pos, padding_type=padding_type,
+                attn_drop=attn_drop, proj_drop=proj_drop,
+                separate_global_qkv=separate_global_qkv,
+                global_dim_ratio=global_dim_ratio,
+                use_global_self_attn=use_global_self_attn, rngs=rngs))
             ln2.append(LayerNorm(dim))
             if self.use_moe:
                 ffns.append(MixtureFFN(dim, int(dim * mlp_ratio), expert_shape, moe_config, rngs=rngs))
             else:
-                ffns.append(_FFN(dim, int(dim * mlp_ratio), rngs=rngs))
+                ffns.append(_FFN(dim, int(dim * mlp_ratio), ffn_drop, rngs=rngs))
+            if use_global and use_global_vector_ffn:
+                # per-attn global FFN at ratio*dim (reference encoder.py:1073-1092)
+                g_ffns.append(_FFN(gdim, int(gdim * mlp_ratio), ffn_drop, rngs=rngs))
             if self.use_attn_moe:
                 # qkv routed per token on the full volume before cuboid
                 # decomposition (reference MixtureSelfAttention wraps the
@@ -717,29 +848,35 @@ class _CuboidBlock(Module):
         self.ln2 = ModuleList(ln2)
         if self.use_attn_moe:
             self.qkv_moes = ModuleList(qkv_moes)
-        if use_global:
-            self.g_ln = LayerNorm(dim)
-            self.g_ffn = _FFN(dim, int(dim * mlp_ratio), rngs=rngs)
+        if use_global and use_global_vector_ffn:
+            self.g_ffns = ModuleList(g_ffns)
+            self.g_lns = ModuleList([LayerNorm(gdim) for _ in layers])
 
     def __call__(self, x, g=None, moe_key=None):
         aux = jnp.zeros(())
         for i, (attn, ffn) in enumerate(zip(self.attns, self.ffns)):
+            lkey = None if moe_key is None else jax.random.fold_in(moe_key, i)
+            akey = fkey = gkey = None
+            if lkey is not None:
+                akey, fkey, gkey = jax.random.split(lkey, 3)
             xn = self.ln1[i](x)
             if self.use_attn_moe:
                 qkv_vol, a_aux = self.qkv_moes[i](xn, moe_key)
                 aux = aux + a_aux
-                a, g = attn(xn, g, qkv_vol=qkv_vol)
+                a, g_upd = attn(xn, g, qkv_vol=qkv_vol, key=akey)
             else:
-                a, g = attn(xn, g)
+                a, g_upd = attn(xn, g, key=akey)
             x = x + a
+            if g_upd is not None:
+                g = g + g_upd
+                if self.use_global_vector_ffn:
+                    g = g + self.g_ffns[i](self.g_lns[i](g), gkey)
             if self.use_moe:
                 y, m_aux = ffn(self.ln2[i](x), moe_key)
                 x = x + y
                 aux = aux + m_aux
             else:
-                x = x + ffn(self.ln2[i](x))
-        if self.use_global and g is not None:
-            g = g + self.g_ffn(self.g_ln(g))
+                x = x + ffn(self.ln2[i](x), fkey)
         return x, g, aux
 
 
@@ -751,7 +888,15 @@ class _CrossBlock(Module):
 
     def __init__(self, dim, num_heads, layers, mlp_ratio, max_temporal_relative=50,
                  cross_last_n_frames=None, use_global=False, use_relative_pos=True,
-                 padding_type="ignore", *, rngs: Rngs):
+                 padding_type="ignore", attn_drop: float = 0.0,
+                 proj_drop: float = 0.0, ffn_drop: float = 0.0,
+                 global_dim_ratio: int = 1, moe_config=None, expert_shape=None,
+                 *, rngs: Rngs):
+        from paddlescience_tpu.arch.extformer_moe import MixtureFFN
+
+        # reference decoder cross blocks carry MoE FFNs too when use_ffn_moe
+        # (extformer_moe_cuboid_decoder.py:595-845)
+        self.use_moe = bool(moe_config) and moe_config.get("use_ffn_moe", True)
         attns, ffns, ln_q, ln_kv, ln2 = [], [], [], [], []
         for (chw, shw, strat, n_t) in layers:
             ln_q.append(LayerNorm(dim))
@@ -759,20 +904,35 @@ class _CrossBlock(Module):
             attns.append(CuboidCrossAttention(
                 dim, num_heads, chw, shw, strat, n_t, max_temporal_relative,
                 cross_last_n_frames, use_global=use_global,
-                use_relative_pos=use_relative_pos, padding_type=padding_type, rngs=rngs))
+                use_relative_pos=use_relative_pos, padding_type=padding_type,
+                attn_drop=attn_drop, proj_drop=proj_drop,
+                global_dim_ratio=global_dim_ratio, rngs=rngs))
             ln2.append(LayerNorm(dim))
-            ffns.append(_FFN(dim, int(dim * mlp_ratio), rngs=rngs))
+            if self.use_moe:
+                ffns.append(MixtureFFN(dim, int(dim * mlp_ratio), expert_shape, moe_config, rngs=rngs))
+            else:
+                ffns.append(_FFN(dim, int(dim * mlp_ratio), ffn_drop, rngs=rngs))
         self.attns = ModuleList(attns)
         self.ffns = ModuleList(ffns)
         self.ln_q = ModuleList(ln_q)
         self.ln_kv = ModuleList(ln_kv)
         self.ln2 = ModuleList(ln2)
 
-    def __call__(self, x, mem, g=None):
+    def __call__(self, x, mem, g=None, key=None):
+        aux = jnp.zeros(())
         for i, (attn, ffn) in enumerate(zip(self.attns, self.ffns)):
-            x = x + attn(self.ln_q[i](x), self.ln_kv[i](mem), g)
-            x = x + ffn(self.ln2[i](x))
-        return x
+            lkey = None if key is None else jax.random.fold_in(key, i)
+            akey = fkey = None
+            if lkey is not None:
+                akey, fkey = jax.random.split(lkey)
+            x = x + attn(self.ln_q[i](x), self.ln_kv[i](mem), g, key=akey)
+            if self.use_moe:
+                y, m_aux = ffn(self.ln2[i](x), key)
+                x = x + y
+                aux = aux + m_aux
+            else:
+                x = x + ffn(self.ln2[i](x), fkey)
+        return x, aux
 
 
 class _PatchMerge(Module):
@@ -896,8 +1056,9 @@ def _expand_self_layers(pattern, shape, cuboid_size, strategy, shift, depth):
     """Per-depth layer lists for one level. ``pattern`` (a name from
     CuboidSelfAttentionPatterns) wins; otherwise explicit lists; otherwise
     the legacy single-cuboid mode (one layer per block, alternating
-    half-shift — this repo's pre-pattern behavior, kept for checkpoint
-    compatibility)."""
+    half-shift — this repo's pre-pattern behavior; note pre-pattern
+    checkpoints do NOT load unmodified: blocks now hold ModuleLists and a
+    default rel_bias param)."""
     if pattern is not None:
         cs, st, sh = CuboidSelfAttentionPatterns.get(pattern)(shape)
         layers = list(zip([tuple(c) for c in cs], [tuple(s) for s in st],
@@ -984,6 +1145,13 @@ class CuboidTransformer(base.Arch):
         use_relative_pos: bool = True,
         padding_type: str = "ignore",
         z_init_method: str = "nearest_interp",
+        attn_drop: float = 0.0,
+        proj_drop: float = 0.0,
+        ffn_drop: float = 0.0,
+        separate_global_qkv: bool = False,
+        global_dim_ratio: int = 1,
+        use_global_self_attn: bool = False,
+        use_global_vector_ffn: bool = True,
         *,
         rngs: Optional[Rngs] = None,
         **kwargs,
@@ -1027,11 +1195,18 @@ class CuboidTransformer(base.Arch):
 
         self.initial_encoder = _InitialEncoder(C_in, base_units, initial_conv_layers, rngs=rngs)
         self.pos = Param(initializer.trunc_normal_(0.0, 0.02)(rngs.params(), (1, T_in, H, W, base_units)))
+        self.global_dim_ratio = int(global_dim_ratio)
+        self._has_dropout = max(attn_drop, proj_drop, ffn_drop) > 0.0
         if self.num_global > 0:
+            gbase = self.global_dim_ratio * base_units
             self.init_global = Param(
-                initializer.trunc_normal_(0.0, 0.02)(rngs.params(), (1, self.num_global, base_units)))
+                initializer.trunc_normal_(0.0, 0.02)(rngs.params(), (1, self.num_global, gbase)))
             # per-level global projections track the channel doubling
-            self.g_proj = [Linear(dims[i], dims[i + 1], rngs=rngs) for i in range(self.num_levels - 1)]
+            self.g_proj = [
+                Linear(self.global_dim_ratio * dims[i],
+                       self.global_dim_ratio * dims[i + 1], rngs=rngs)
+                for i in range(self.num_levels - 1)
+            ]
 
         enc_levels, mergers = [], []
         for lev, depth in enumerate(enc_depth):
@@ -1043,7 +1218,14 @@ class CuboidTransformer(base.Arch):
                              moe_config, (T_in, *hw[lev]),
                              use_global=self.num_global > 0,
                              use_relative_pos=use_relative_pos,
-                             padding_type=padding_type, rngs=rngs)
+                             padding_type=padding_type,
+                             attn_drop=attn_drop, proj_drop=proj_drop,
+                             ffn_drop=ffn_drop,
+                             separate_global_qkv=separate_global_qkv,
+                             global_dim_ratio=global_dim_ratio,
+                             use_global_self_attn=use_global_self_attn,
+                             use_global_vector_ffn=use_global_vector_ffn,
+                             rngs=rngs)
                 for layers in per_block
             ]
             enc_levels.append(ModuleList(blocks))
@@ -1069,7 +1251,9 @@ class CuboidTransformer(base.Arch):
                 _CuboidBlock(dims[lev], num_heads, self_layers[d], mlp_ratio,
                              moe_config, (T_out, *hw[lev]), use_global=False,
                              use_relative_pos=use_relative_pos,
-                             padding_type=padding_type, rngs=rngs)
+                             padding_type=padding_type,
+                             attn_drop=attn_drop, proj_drop=proj_drop,
+                             ffn_drop=ffn_drop, rngs=rngs)
                 for d in range(n_self)
             ]))
             cross_layers = _expand_cross_layers(
@@ -1082,7 +1266,11 @@ class CuboidTransformer(base.Arch):
                             cross_last_n_frames=cross_last_n_frames,
                             use_global=self.num_global > 0,
                             use_relative_pos=use_relative_pos,
-                            padding_type=padding_type, rngs=rngs)
+                            padding_type=padding_type,
+                            attn_drop=attn_drop, proj_drop=proj_drop,
+                            ffn_drop=ffn_drop, global_dim_ratio=global_dim_ratio,
+                            moe_config=moe_config, expert_shape=(T_out, *hw[lev]),
+                            rngs=rngs)
                 for _ in range(n_cross)
             ]))
             if lev > 0:
@@ -1125,8 +1313,10 @@ class CuboidTransformer(base.Arch):
         h = self.initial_encoder(h) + self.pos
 
         moe_keys = iter([])
-        if self.moe_config is not None and self._moe_rng is not None:
-            n_blocks = sum(len(b) for b in self.enc_levels) + sum(len(b) for b in self.dec_self)
+        if self._moe_rng is not None and (self.moe_config is not None or self._has_dropout):
+            n_blocks = (sum(len(b) for b in self.enc_levels)
+                        + sum(len(b) for b in self.dec_self)
+                        + sum(len(b) for b in self.dec_cross))
             moe_keys = iter(list(jax.random.split(self._moe_rng, n_blocks)))
         next_key = lambda: next(moe_keys, None)
         total_aux = jnp.zeros(())
@@ -1157,13 +1347,15 @@ class CuboidTransformer(base.Arch):
             if not self.use_first_self_attn and i == 0 and crosses:
                 # coarsest level leads with cross-attention (reference
                 # use_first_self_attn=False path, decoder.py:1207-1225)
-                z = self._maybe_ckpt(crosses[0], z, mem_l[lev], g_l[lev])
+                z, aux = self._maybe_ckpt(crosses[0], z, mem_l[lev], g_l[lev], next_key())
+                total_aux = total_aux + aux
                 crosses = crosses[1:]
             for d, sblk in enumerate(selfs):
                 z, _, aux = self._maybe_ckpt(sblk, z, None, next_key())
                 total_aux = total_aux + aux
                 if d < len(crosses):
-                    z = self._maybe_ckpt(crosses[d], z, mem_l[lev], g_l[lev])
+                    z, aux = self._maybe_ckpt(crosses[d], z, mem_l[lev], g_l[lev], next_key())
+                    total_aux = total_aux + aux
             if lev > 0:
                 z = self.upsamplers[i](z, self.hw[lev - 1])
 

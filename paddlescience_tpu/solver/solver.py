@@ -389,8 +389,15 @@ class Solver:
         }
 
         def step_fn(state, host_batches):
-            rng, sample_key, agg_key = jax.random.split(state["rng"], 3)
+            rng, sample_key, agg_key, model_key = jax.random.split(state["rng"], 4)
             step = state["step"]
+            # install the per-step train RNG on models that take one (dropout
+            # / noisy MoE gating). The key is a tracer: it is read back inside
+            # THIS trace (the arch forwards), so per-step randomness flows
+            # from state["rng"]. Eval/predict entry points reset it to None.
+            for m in self.models:
+                if hasattr(m, "set_train_rng"):
+                    m.set_train_rng(model_key)
 
             batches = dict(host_batches)
             for i, (name, cst) in enumerate(device_csts.items()):
@@ -873,11 +880,20 @@ class Solver:
 
         return jax.jit(eval_fn)
 
+    def _reset_train_rng(self) -> None:
+        """Restore deterministic eval behavior on models holding a per-step
+        train RNG (dropout / noisy MoE gating). Also drops any tracer the
+        jitted train step left on the Python object."""
+        for m in self.models:
+            if hasattr(m, "set_train_rng"):
+                m.set_train_rng(None)
+
     def eval(self, epoch_id: Optional[int] = None) -> Tuple[float, Dict[str, Dict[str, float]]]:
         """Full validation sweep (reference solver.py:683-710, eval.py:63-187).
         Returns (target_metric = first metric value, metric dict group)."""
         if not self.validator:
             raise ValueError("no validator available")
+        self._reset_train_rng()
         # evaluate the averaged model when EMA/SWA is active (reference
         # evaluates ema_model during training, solver.py:565-575)
         params = self.state["avg_params"] if "avg_params" in self.state else self.state["params"]
@@ -964,6 +980,7 @@ class Solver:
         results are all-gathered and inverse-permuted back to input order
         (reference solver.py:767-863; round-2 recomputed the full input on
         every process — correct but wasteful, VERDICT r2 weak #9)."""
+        self._reset_train_rng()
         params, rest, eq_params = self.state["params"], self.state["rest"], self.state["eq_params"]
         total_num = len(next(iter(input_dict.values())))
         nproc, rank = jax.process_count(), jax.process_index()
@@ -1029,17 +1046,25 @@ class Solver:
         return result
 
     # ------------------------------------------------------------------ export --
-    def export(self, input_spec=None, export_path: Optional[str] = None, **kwargs) -> Callable:
+    def export(self, input_spec=None, export_path: Optional[str] = None,
+               format: str = "stablehlo", **kwargs) -> Callable:
         """Return (and optionally checkpoint) a jitted inference callable —
         the TPU-native replacement for paddle.jit.save (reference
         solver.py:874-959): XLA recompiles from the saved params + module.
 
         With ``input_spec`` (a dict of example arrays or (shape, dtype)
         tuples) AND ``export_path``, additionally serializes the traced
-        program as a **StableHLO artifact** (``<export_path>.stablehlo``,
-        via jax.export) — the portable compiled-graph analog of the
-        reference's .pdmodel/ONNX files, loadable with
-        ``jax.export.deserialize`` without the Python model code."""
+        program as a portable artifact:
+
+        * ``format="stablehlo"`` (default): ``<export_path>.stablehlo`` via
+          jax.export — loadable with ``jax.export.deserialize`` without the
+          Python model code.
+        * ``format="savedmodel"``: a TensorFlow SavedModel directory at
+          ``<export_path>.savedmodel`` via ``jax.experimental.jax2tf`` — the
+          non-JAX consumer lane (TF Serving, tf2onnx, TFLite), the analog of
+          the reference's paddle2onnx export (reference solver.py:939-958,
+          deploy/python_infer/base.py:183-215)."""
+        self._reset_train_rng()
         params, rest = self.state["params"], self.state["rest"]
 
         @jax.jit
@@ -1058,12 +1083,42 @@ class Solver:
                     return jnp.asarray(v)
 
                 example = {k: to_example(v) for k, v in input_spec.items()}
-                exported = jax_export.export(infer_fn)(example)
-                blob = exported.serialize()
-                with open(export_path + ".stablehlo", "wb") as f:
-                    f.write(blob)
-                logger.info(f"Saved StableHLO artifact to: {export_path}.stablehlo")
+                if format == "savedmodel":
+                    self._export_savedmodel(infer_fn, example, export_path)
+                else:
+                    exported = jax_export.export(infer_fn)(example)
+                    blob = exported.serialize()
+                    with open(export_path + ".stablehlo", "wb") as f:
+                        f.write(blob)
+                    logger.info(f"Saved StableHLO artifact to: {export_path}.stablehlo")
         return infer_fn
+
+    @staticmethod
+    def _export_savedmodel(infer_fn, example, export_path: str) -> None:
+        """Serialize ``infer_fn`` as a TF SavedModel (graph + weights baked
+        in). Batch dim is exported as dynamic (polymorphic "b")."""
+        import tensorflow as tf  # baked into the image; fail loudly otherwise
+        from jax.experimental import jax2tf
+
+        keys = sorted(example.keys())
+        tf_fn = jax2tf.convert(
+            lambda *args: infer_fn(dict(zip(keys, args))),
+            polymorphic_shapes=["(b, " + ", ".join(
+                str(d) for d in example[k].shape[1:]) + ")" for k in keys],
+        )
+        module = tf.Module()
+        module.f = tf.function(
+            tf_fn,
+            input_signature=[
+                tf.TensorSpec([None, *example[k].shape[1:]],
+                              tf.as_dtype(np.dtype(example[k].dtype)), name=k)
+                for k in keys
+            ],
+            autograph=False,
+        )
+        out_dir = export_path + ".savedmodel"
+        tf.saved_model.save(module, out_dir)
+        logger.info(f"Saved TF SavedModel to: {out_dir}")
 
     # --------------------------------------------------------------- visualize --
     def visualize(self, epoch_id: Optional[int] = None):

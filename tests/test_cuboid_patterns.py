@@ -196,3 +196,55 @@ def test_cuboid_transformer_z_init_methods():
             cuboid_size=(2, 4, 4), num_global_vectors=0, z_init_method=method)
         x = {"input": np.random.rand(1, 2, 8, 8, 1).astype(np.float32)}
         assert m(x)["output"].shape == (1, 3, 8, 8, 1)
+
+
+def _oracle_self_attn_mask(data_shape, cuboid_size, shift_size, strategy, padding_type):
+    """Straight-line reimplementation of the reference's
+    compute_cuboid_self_attention_mask (cuboid_transformer_encoder.py:309-380)
+    in numpy — the region-id slice triplets verbatim, including the
+    zero-shift final slice(-0, None) covering the whole axis."""
+    T, H, W = data_shape
+    pad_t = (cuboid_size[0] - T % cuboid_size[0]) % cuboid_size[0]
+    pad_h = (cuboid_size[1] - H % cuboid_size[1]) % cuboid_size[1]
+    pad_w = (cuboid_size[2] - W % cuboid_size[2]) % cuboid_size[2]
+    Tp, Hp, Wp = T + pad_t, H + pad_h, W + pad_w
+    data_mask = np.ones((1, T, H, W, 1), dtype=bool)
+    data_mask = np.pad(data_mask, ((0, 0), (0, pad_t), (0, pad_h), (0, pad_w), (0, 0)))
+    if any(s > 0 for s in shift_size):
+        data_mask = np.roll(
+            data_mask, shift=(-shift_size[0], -shift_size[1], -shift_size[2]), axis=(1, 2, 3))
+    data_mask = ct._np_cuboid_reorder(data_mask, cuboid_size, strategy)[0, :, :, 0]
+    shift_mask = np.zeros((1, Tp, Hp, Wp, 1))
+    cnt = 0
+    for t in (slice(-cuboid_size[0]), slice(-cuboid_size[0], -shift_size[0]),
+              slice(-shift_size[0], None)):
+        for h in (slice(-cuboid_size[1]), slice(-cuboid_size[1], -shift_size[1]),
+                  slice(-shift_size[1], None)):
+            for w in (slice(-cuboid_size[2]), slice(-cuboid_size[2], -shift_size[2]),
+                      slice(-shift_size[2], None)):
+                shift_mask[:, t, h, w, :] = cnt
+                cnt += 1
+    shift_mask = ct._np_cuboid_reorder(shift_mask, cuboid_size, strategy)[0, :, :, 0]
+    mask = shift_mask[:, None, :] == shift_mask[:, :, None]
+    if padding_type == "ignore":
+        mask = mask & data_mask[:, None, :] & data_mask[:, :, None]
+    return mask
+
+
+@pytest.mark.parametrize(
+    "shape,cub,shift,strategy",
+    [
+        # the advisor's counterexample: dilated axis + padding, zero shift
+        ((1, 6, 1), (1, 4, 1), (0, 0, 0), ("l", "d", "l")),
+        ((1, 6, 1), (1, 4, 1), (0, 2, 0), ("l", "d", "l")),
+        ((3, 8, 8), (2, 4, 4), (0, 0, 0), ("l", "l", "l")),
+        ((4, 8, 8), (2, 4, 4), (1, 2, 2), ("l", "l", "l")),
+        ((4, 6, 10), (2, 4, 4), (0, 2, 2), ("l", "d", "l")),
+        ((5, 7, 8), (2, 4, 4), (1, 0, 2), ("d", "l", "d")),
+    ],
+)
+def test_self_attn_mask_matches_reference_oracle(shape, cub, shift, strategy):
+    got = ct._self_attn_mask(shape, cub, shift, strategy, "ignore")
+    want = _oracle_self_attn_mask(shape, cub, shift, strategy, "ignore")
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got), want)

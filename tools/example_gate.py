@@ -138,7 +138,15 @@ def run_one(case: str, tier: str) -> dict:
     metric = None
     if isinstance(ret, (int, float)) and not isinstance(ret, bool):
         metric = float(ret)
-    return {"case": case, "metric": metric, "seconds": round(dt, 1)}
+    try:  # record the device the run actually executed on (ADVICE r4 low)
+        import jax
+
+        dev = jax.devices()[0]
+        hardware = f"{dev.device_kind} ({dev.platform}, {jax.device_count()} device(s))"
+    except Exception:
+        hardware = "unknown"
+    return {"case": case, "metric": metric, "seconds": round(dt, 1),
+            "hardware": hardware}
 
 
 def main():

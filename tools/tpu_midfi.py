@@ -79,8 +79,10 @@ def main():
             results[case] = {"error": f"exit {proc.returncode}"}
         else:
             res = json.loads(marker[-1][len("GATE_RESULT "):])
+            # hardware comes from the worker's own jax.devices() report
+            # (example_gate.run_one), so an accidental CPU fallback is visible
+            res.setdefault("hardware", "unknown")
             res.update(
-                hardware="TPU v5e (1 chip)",
                 date=datetime.date.today().isoformat(),
                 overrides=extra or "(case defaults)",
             )
