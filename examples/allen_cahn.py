@@ -276,9 +276,10 @@ def _solver_from_cfg(cfg, **overrides):
 
 def train(cfg):
     # TRAIN.matmul_precision: "default" (bf16 passes, fastest), "high"
-    # (3-pass f32) or "highest". The reference trains pure f32 on GPU; on TPU
-    # the bf16 default floors final L2Rel around 1e-4, so the accuracy-pin
-    # recipe runs with "high".
+    # (3-pass bf16) or "highest" (full f32). The reference trains pure f32 on
+    # GPU; on TPU the bf16 default floors final L2Rel around 1e-4 and "high"
+    # floors it around 8e-5 (r5 root-cause: seed 42 scored 7.69e-5 @ high vs
+    # 4.81e-5 @ highest), so the accuracy-pin recipe runs with "highest".
     prec = cfg.TRAIN.get("matmul_precision")
     if prec:
         import jax

@@ -80,6 +80,36 @@ def build_solver(epochs=50, iters_per_epoch=8, seq_len=16, output_dir="./output_
         name="Sup",
     )
 
+    # held-out validator: one-step Koopman prediction MSE on windows from
+    # trajectories the training split never saw (reference trains/evals
+    # LorenzEmbedding with MSELoss over the rollout,
+    # examples/transformer_physx train_enn.py)
+    n_val = max(len(windows) // 8, 1)
+    val_windows, windows = windows[-n_val:], windows[:-n_val]
+
+    def pred_mse(output_dict, label_dict):
+        import jax.numpy as jnp
+
+        err = output_dict["pred_states"] - label_dict["states"][:, 1:]
+        return {"pred_MSE": jnp.mean(err**2)}
+
+    validator = {
+        "koopman_val": psci.validate.SupervisedValidator(
+            {
+                "dataset": {
+                    "name": "NamedArrayDataset",
+                    "input": {"states": val_windows},
+                    "label": {"states": val_windows},
+                },
+                "batch_size": 256,
+            },
+            psci.loss.FunctionalLoss(koopman_loss),
+            {k: (lambda out, kk=k: out[kk]) for k in model.output_keys},
+            metric={"pred_MSE": psci.metric.FunctionalMetric(pred_mse)},
+            name="koopman_val",
+        )
+    }
+
     lr = psci.optimizer.lr_scheduler.ExponentialDecay(
         epochs=epochs, iters_per_epoch=iters_per_epoch, learning_rate=1e-3, gamma=0.995, decay_steps=iters_per_epoch
     )()
@@ -90,6 +120,7 @@ def build_solver(epochs=50, iters_per_epoch=8, seq_len=16, output_dir="./output_
         psci.optimizer.Adam(lr)(model),
         epochs=epochs,
         iters_per_epoch=iters_per_epoch,
+        validator=validator,
         log_freq=100,
     )
 def main_cli():

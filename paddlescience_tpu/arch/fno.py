@@ -71,12 +71,23 @@ class SpectralConv(Module):
         self.fft_norm = fft_norm
         self.factorization = (factorization or "dense").lower()
 
+        # Reference (neuralop) semantics: ``n_modes[d]`` is the TOTAL mode
+        # count kept along axis d — n//2 positive + n//2 negative for full
+        # fft axes, n//2+1 coefficients on the rfft (last) axis
+        # (reference fno_block.py:720-745 keeps min(size, n_mode) centered
+        # modes of a max_n_modes-shaped weight). Earlier rounds kept
+        # n_modes[d] PER CORNER (2x the reference capacity at equal config).
+        self.corner_modes = tuple(m // 2 for m in self.n_modes[:-1]) + (
+            self.n_modes[-1] // 2 + 1,)
+
         # spectral corners: all +/- combinations for every dim except the
         # last (rfft half-spectrum keeps only positive freqs there)
         self.corners = list(itertools.product(*[(0, 1)] * (self.ndim - 1)))
         scale = 1.0 / (in_channels * out_channels)
         wshape = (
-            (in_channels,) + self.n_modes if separable else (in_channels, out_channels) + self.n_modes
+            (in_channels,) + self.corner_modes
+            if separable
+            else (in_channels, out_channels) + self.corner_modes
         )
         if separable and self.factorization != "dense":
             raise ValueError("separable spectral convs support only dense weights")
@@ -123,21 +134,25 @@ class SpectralConv(Module):
 
     _MODE_AX = "jklmn"  # einsum letters for up to 5 spatial mode axes
 
-    def _contract(self, ci, xc):
+    def _contract(self, ci, xc, wmode_slices):
         """Apply this corner's weight to xc (B, I, *modes) -> (B, O, *modes),
-        in factorized form (dense weights are never materialized)."""
+        in factorized form (dense weights are never materialized).
+        ``wmode_slices``: per-mode-axis slices into the weight (identity
+        except when the input grid is smaller than the configured modes)."""
         mx = self._MODE_AX[: self.ndim]
         if self.separable:
-            return xc * self._weight(ci)[None]
+            w = self._weight(ci)[(slice(None),) + wmode_slices]
+            return xc * w[None]
         if self.factorization == "dense":
-            return jnp.einsum(f"bi{mx},io{mx}->bo{mx}", xc, self._weight(ci))
+            w = self._weight(ci)[(slice(None), slice(None)) + wmode_slices]
+            return jnp.einsum(f"bi{mx},io{mx}->bo{mx}", xc, w)
         if self.factorization == "cp":
             lam = getattr(self, f"w{ci}_lam_re") + 1j * getattr(self, f"w{ci}_lam_im")
             a = self._cfac(ci, 0)  # (I, R)
             b = self._cfac(ci, 1)  # (O, R)
             t = jnp.einsum(f"bi{mx},ir->br{mx}", xc, a)
             for d in range(self.ndim):
-                f = self._cfac(ci, 2 + d)  # (m_d, R)
+                f = self._cfac(ci, 2 + d)[wmode_slices[d]]  # (m_d_eff, R)
                 bshape = (1, f.shape[1]) + (1,) * d + (f.shape[0],) + (1,) * (self.ndim - d - 1)
                 t = t * f.T.reshape(bshape)
             return jnp.einsum(f"br{mx},or,r->bo{mx}", t, b, lam)
@@ -148,7 +163,7 @@ class SpectralConv(Module):
         a_o = self._cfac(ci, 1)  # (O, rO)
         g = core
         for d in range(self.ndim):
-            f = self._cfac(ci, 2 + d)  # (m_d, r_d)
+            f = self._cfac(ci, 2 + d)[wmode_slices[d]]  # (m_d_eff, r_d)
             g = jnp.moveaxis(jnp.tensordot(g, f, axes=([2 + d], [1])), -1, 2 + d)
         # g: (rI, rO, *modes)
         t = jnp.einsum(f"bi{mx},ip->bp{mx}", xc, a_i)
@@ -165,12 +180,27 @@ class SpectralConv(Module):
 
         for ci, corner in enumerate(self.corners):
             slices = [slice(None), slice(None)]
+            wslices = []
             for d, sign in enumerate(corner):
-                m = self.n_modes[d]
-                slices.append(slice(0, m) if sign == 0 else slice(-m, None))
-            slices.append(slice(0, self.n_modes[-1]))  # rfft last dim
+                cm = self.corner_modes[d]
+                size = spatial[d]
+                # clamp to the grid (reference keeps min(size, n_mode)
+                # centered modes, fno_block.py:727-736)
+                if sign == 0:
+                    m = min(cm, (size + 1) // 2)
+                    slices.append(slice(0, m))
+                    wslices.append(slice(0, m))
+                else:
+                    m = min(cm, size // 2)
+                    slices.append(slice(x_hat.shape[2 + d] - m, None))
+                    # high-corner factor rows are frequencies -cm..-1;
+                    # the lowest |freq| m of them are the last m rows
+                    wslices.append(slice(cm - m, cm))
+            m_last = min(self.corner_modes[-1], x_hat.shape[-1])
+            slices.append(slice(0, m_last))  # rfft last dim
+            wslices.append(slice(0, m_last))
             slices = tuple(slices)
-            yc = self._contract(ci, x_hat[slices])
+            yc = self._contract(ci, x_hat[slices], tuple(wslices))
             out_hat = out_hat.at[slices].set(yc)
 
         return jnp.fft.irfftn(out_hat, s=spatial, axes=fft_axes, norm=self.fft_norm)

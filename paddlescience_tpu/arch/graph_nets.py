@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from paddlescience_tpu.arch import base
-from paddlescience_tpu.nn.core import Module, Param, Rngs
-from paddlescience_tpu.nn.layers import LayerNorm, Linear
+from paddlescience_tpu.nn.core import Module, ModuleList, Param, Rngs
+from paddlescience_tpu.nn.layers import Conv, LayerNorm, Linear
 
 __all__ = ["CrystalGraphConvNet", "TGCN", "MeshGraphNet", "AMGNet", "GraphCastNet", "CFDGCN"]
 
@@ -105,9 +105,74 @@ class _GRUCell(Module):
         return (1 - z) * h + z * hh
 
 
+class _BatchStatNorm(Module):
+    """Per-channel normalization with current-batch statistics + learnable
+    scale/shift — the jit-functional stand-in for the reference's
+    BatchNorm2D (tgcn.py bn1/bn2). No running stats: eval normalizes with
+    the eval batch's own statistics (documented deviation; TGCN evals run
+    full-split batches where the two coincide)."""
+
+    def __init__(self, channels, *, rngs: Rngs):
+        self.scale = Param(jnp.ones((channels,)))
+        self.shift = Param(jnp.zeros((channels,)))
+
+    def __call__(self, x):  # (..., C), stats over all leading axes
+        axes = tuple(range(x.ndim - 1))
+        mu = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5) * self.scale + self.shift
+
+
+class _TempolConv(Module):
+    """Dilated temporal conv stack (reference tgcn.py tempol_conv:38-72):
+    num_layer dilated (1, k_s) convs with LeakyReLU, dense concat, 1x1 mix.
+    Channel-last layout (B, N, T, C)."""
+
+    def __init__(self, in_dim, out_dim, hidden, num_layer=3, k_s=3, alpha=0.1, *, rngs: Rngs):
+        self.alpha = alpha
+        self.convs = ModuleList([
+            Conv(in_dim if i == 0 else hidden, hidden, (1, k_s),
+                 padding=[(0, 0), (i + 1, i + 1)], dilation=(1, i + 1), rngs=rngs)
+            for i in range(num_layer)
+        ])
+        self.mlp = Conv(in_dim + hidden * num_layer, out_dim, (1, 1), rngs=rngs)
+
+    def __call__(self, x):
+        cat = [x]
+        for conv in self.convs:
+            x = jax.nn.leaky_relu(conv(x), self.alpha)
+            cat.append(x)
+        return self.mlp(jnp.concatenate(cat, axis=-1))
+
+
+class _GraphConv(Module):
+    """K-hop dense-adjacency propagation + 1x1 mix (reference tgcn.py
+    graph_conv:12-35). Dropout after the mix when a train key is given."""
+
+    def __init__(self, in_dim, out_dim, dropout, num_layer=2, *, rngs: Rngs):
+        self.mlp = Conv((num_layer + 1) * in_dim, out_dim, (1, 1), rngs=rngs)
+        self.num_layer = num_layer
+        self.dropout = float(dropout)
+
+    def __call__(self, x, adj, key=None):  # x (B, N, T, C)
+        out = [x]
+        for _ in range(self.num_layer):
+            x = jnp.einsum("mn,bntc->bmtc", adj, x)
+            out.append(x)
+        h = self.mlp(jnp.concatenate(out, axis=-1))
+        if key is not None and self.dropout > 0.0:
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(key, keep, h.shape)
+            h = jnp.where(mask, h / keep, 0.0)
+        return h
+
+
 class TGCN(base.Arch):
-    """Temporal GCN (reference ppsci/arch/tgcn.py): GCN spatial mixing with a
-    normalized dense adjacency + GRU over time; input (B, T, N, C)."""
+    """Temporal Graph Convolutional Network (reference ppsci/arch/tgcn.py:
+    74-200): 1x1 embedding conv, two [dilated temporal conv -> K-hop graph
+    conv -> residual -> batch norm] stages, dense readout over the
+    concatenated features, (1, input_len) reduction to label_len steps.
+    Input (B, T, N, C) -> output (B, label_len, N, 1)."""
 
     def __init__(
         self,
@@ -115,9 +180,15 @@ class TGCN(base.Arch):
         output_keys: Tuple[str, ...],
         adj: jnp.ndarray,
         in_dim: int = 1,
+        emb_dim: int = 32,
         hidden: int = 64,
-        gcn_hidden: int = 64,
-        out_steps: int = 1,
+        gc_layer: int = 2,
+        tc_layer: int = 2,
+        k_s: int = 3,
+        dropout: float = 0.25,
+        alpha: float = 0.1,
+        input_len: int = 12,
+        label_len: int = 12,
         *,
         rngs: Optional[Rngs] = None,
     ):
@@ -126,34 +197,42 @@ class TGCN(base.Arch):
             rngs = Rngs(0)
         self.input_keys = tuple(input_keys)
         self.output_keys = tuple(output_keys)
-        a = jnp.asarray(adj, jnp.float32) + jnp.eye(adj.shape[0])
-        d = jnp.sum(a, axis=1)
-        dinv = jax.lax.rsqrt(jnp.maximum(d, 1e-12))
-        self.a_norm = dinv[:, None] * a * dinv[None, :]
-        self.gcn1 = Linear(in_dim, gcn_hidden, rngs=rngs)
-        self.gcn2 = Linear(gcn_hidden, gcn_hidden, rngs=rngs)
-        self.gru = _GRUCell(gcn_hidden, hidden, rngs=rngs)
-        self.head = Linear(hidden, out_steps, rngs=rngs)
-        self.hidden = hidden
+        self.adj = jnp.asarray(adj, jnp.float32)
+        self._train_rng = None
+
+        self.emb_conv = Conv(in_dim, emb_dim, (1, 1), rngs=rngs)
+        self.tc1 = _TempolConv(emb_dim, hidden, hidden, tc_layer, k_s, alpha, rngs=rngs)
+        self.sc1 = _GraphConv(hidden, hidden, dropout, gc_layer, rngs=rngs)
+        self.bn1 = _BatchStatNorm(hidden, rngs=rngs)
+        self.tc2 = _TempolConv(hidden, hidden, hidden, tc_layer, k_s, alpha, rngs=rngs)
+        self.sc2 = _GraphConv(hidden, hidden, dropout, gc_layer, rngs=rngs)
+        self.bn2 = _BatchStatNorm(hidden, rngs=rngs)
+        self.end_conv_1 = Conv(emb_dim + 2 * hidden, 2 * hidden, (1, 1), rngs=rngs)
+        # (1, input_len) VALID conv collapses T; channels become label_len
+        self.end_conv_2 = Conv(2 * hidden, label_len, (1, input_len),
+                               padding=[(0, 0), (0, 0)], rngs=rngs)
+
+    def set_train_rng(self, key) -> None:
+        """Per-step dropout key (installed by the solver's train step)."""
+        self._train_rng = key
 
     def __call__(self, x: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         seq = x[self.input_keys[0]]  # (B, T, N, C)
-        B, T, N, C = seq.shape
-        a = self.a_norm
+        h = jnp.transpose(seq, (0, 2, 1, 3))  # (B, N, T, C) channel-last
+        k1 = k2 = None
+        if self._train_rng is not None:
+            k1, k2 = jax.random.split(self._train_rng)
 
-        def gcn(xt):
-            h = jax.nn.relu(jnp.einsum("mn,bnc->bmc", a, self.gcn1(xt)))
-            return jax.nn.relu(jnp.einsum("mn,bnc->bmc", a, self.gcn2(h)))
-
-        def step(h, xt):
-            g = gcn(xt)
-            h = self.gru(g.reshape(B * N, -1), h)
-            return h, None
-
-        h0 = jnp.zeros((B * N, self.hidden))
-        h, _ = jax.lax.scan(step, h0, jnp.swapaxes(seq, 0, 1))
-        out = self.head(h).reshape(B, N, -1)
-        return {self.output_keys[0]: jnp.swapaxes(out, 1, 2)[..., None]}  # (B, out_steps, N, 1)
+        emb = self.emb_conv(h)
+        tc1 = self.tc1(emb)
+        sc1 = self.bn1(self.sc1(tc1, self.adj, k1) + tc1)
+        tc2 = self.tc2(sc1)
+        sc2 = self.bn2(self.sc2(tc2, self.adj, k2) + tc2)
+        out = jax.nn.relu(jnp.concatenate([emb, sc1, sc2], axis=-1))
+        out = jax.nn.relu(self.end_conv_1(out))
+        out = self.end_conv_2(out)  # (B, N, 1, label_len)
+        out = jnp.transpose(out, (0, 3, 1, 2))  # (B, label_len, N, 1)
+        return {self.output_keys[0]: out}
 
 
 class _MPBlock(Module):

@@ -279,13 +279,28 @@ def _jet_pallas_segments(model, jx, linears, acts, gated, uv=()):
     if cache is None:
         cache = {}
         object.__setattr__(model, "_jet_specs", cache)
-    g = int(os.environ.get("PSCI_JET_SEG", "3"))
-    bm = int(os.environ.get("PSCI_JET_BLOCK_M", "256"))
+    # width-adaptive kernel shape (VERDICT r4 next #3): narrow nets (e.g. the
+    # cylinder 5x50 MLP) are HBM-bound, not MXU-bound — fuse the WHOLE net
+    # into one segment (boundary jets are the only HBM traffic) and widen the
+    # batch tile so each kernel invocation still covers ~256x256 elements.
+    width = max((_linear_out_features(l) for l in linears), default=256)
+    if os.environ.get("PSCI_JET_SEG"):
+        g = int(os.environ["PSCI_JET_SEG"])
+    else:
+        g = len(linears) if width < 128 else 3
+    if os.environ.get("PSCI_JET_BLOCK_M"):
+        bm = int(os.environ["PSCI_JET_BLOCK_M"])
+    elif width < 128:
+        bm = min(max(256, (256 * 256 // max(width, 1)) // 8 * 8), 2048)
+    else:
+        bm = 256
+    batch = jx.streams[0].shape[0]
+    bm = min(bm, max(-(-batch // 8) * 8, 8))  # never tile beyond the batch
     y = jx
     for s in range(0, len(linears), g):
         seg_l = linears[s : s + g]
         seg_a = acts[s : s + g]
-        key = ("mlp_seg", s, len(seg_l), gated, y.index)
+        key = ("mlp_seg", s, len(seg_l), gated, y.index, g, bm)
         if key not in cache:
             # per-layer stages let the backward kernel keep only one layer's
             # vjp residuals live (streaming backward, ops/jet_pallas.py)

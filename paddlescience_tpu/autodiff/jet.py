@@ -230,18 +230,65 @@ def _d2(fn: Callable, p: jnp.ndarray) -> jnp.ndarray:
     return jax.jvp(g, (p,), (jnp.ones_like(p),))[1]
 
 
+def _tanh_rule(p):
+    t = jnp.tanh(p)
+    sp = 1.0 - t * t
+    return t, sp, -2.0 * t * sp
+
+
+def _sin_rule(p):
+    s, c = jnp.sin(p), jnp.cos(p)
+    return s, c, -s
+
+
+def _cos_rule(p):
+    s, c = jnp.sin(p), jnp.cos(p)
+    return c, -s, -c
+
+
+def _exp_rule(p):
+    e = jnp.exp(p)
+    return e, e, e
+
+
+# closed-form (f, f', f'') rules keyed by function identity. These exist for
+# SPEED on the jet hot path, not correctness: the jvp fallback below is exact
+# too, but traces fn up to 3 times — inside a Pallas jet kernel the VPU is
+# the bottleneck (piratenet_9x256 spends ~2.6x the MXU time on elementwise
+# chain rules, BENCH_r04), and a rule guarantees ONE transcendental with all
+# derivatives as cheap mults of the shared primal value.
+_ELEMENTWISE_RULES = {
+    jnp.tanh: _tanh_rule,
+    jnp.sin: _sin_rule,
+    jnp.cos: _cos_rule,
+    jnp.exp: _exp_rule,
+}
+
+
 def elementwise(jet: Jet, fn: Callable) -> Jet:
     """Jet chain rule through an elementwise ``fn`` (activation / cos / sin).
 
     ``fn`` must act elementwise on its input (it may close over parameters
-    that are constant w.r.t. the coordinates). σ' and σ'' come from
-    ``jax.jvp`` on the primal — exact, and folded by XLA into the fusion.
+    that are constant w.r.t. the coordinates). σ' and σ'' come from a
+    closed-form rule when the function is a registered primitive (tanh/sin/
+    cos/exp — value-reusing, one transcendental), else from ``jax.jvp`` on
+    the primal — exact either way, folded by XLA into the fusion.
     """
     idx = jet.index
     p = jet.streams[0]
-    streams = [fn(p)]
-    sp = _d1(fn, p)
-    spp = _d2(fn, p) if idx.pairs else None
+    # unwrap parameterless Lambda modules (nn/core.py:277) so the identity
+    # lookup sees the raw jnp function the arch registered
+    raw = getattr(fn, "fn", fn)
+    rule = _ELEMENTWISE_RULES.get(raw) if callable(raw) and raw.__hash__ else None
+    if rule is not None:
+        f0, sp, spp = rule(p)
+        streams = [f0]
+        if not idx.pairs:
+            spp = None
+    else:
+        streams = [fn(p)]
+        sp = _d1(fn, p)
+        spp = _d2(fn, p) if idx.pairs else None
     for m in idx.multis[1:]:
         if len(m) == 1:
             streams.append(sp * jet.streams[idx.pos[m]])

@@ -907,11 +907,18 @@ class PEMSDataset(_DictDataset):
             self.mean = np.load(osp.join(path, "mean.npy")).astype(_F32)
             self.std = np.load(osp.join(path, "std.npy")).astype(_F32)
         else:
-            rng = np.random.default_rng(11 + (0 if split == "train" else 1))
-            t = np.arange(num_steps, dtype=_F32)
-            daily = np.sin(2 * np.pi * t / 288.0)[:, None]
+            # the synthetic splits are TIME windows of one sensor network
+            # (like the real archives): identical per-node base levels, the
+            # val split continuing the clock after the train window. Earlier
+            # rounds re-drew the base per split, which put an irreducible
+            # ~1e2 MAE floor under any model predicting raw readings.
+            rng = np.random.default_rng(11)
             base = rng.uniform(100, 500, num_nodes)[None, :]
-            series = base * (1.0 + 0.5 * daily) + 10.0 * rng.standard_normal(
+            offset = 0 if split == "train" else 7 * num_steps
+            t = np.arange(offset, offset + num_steps, dtype=_F32)
+            daily = np.sin(2 * np.pi * t / 288.0)[:, None]
+            noise_rng = np.random.default_rng(17 + (0 if split == "train" else 1))
+            series = base * (1.0 + 0.5 * daily) + 10.0 * noise_rng.standard_normal(
                 (num_steps, num_nodes)
             ).astype(_F32)
             self.mean = series.mean(axis=0, keepdims=True)

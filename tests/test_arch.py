@@ -139,10 +139,13 @@ def test_spectral_conv_factorizations():
         assert y.shape == (2, 6, 12, 12)
         assert np.isfinite(np.asarray(y)).all()
 
-    # factorized contraction == dense contraction with reconstructed weight
+    # factorized contraction == dense contraction with reconstructed weight.
+    # n_modes (5,5) keeps corner_modes (5//2, 5//2+1) = (2, 3) coefficients
+    # per corner (reference total-mode-count semantics, fno_block.py:720-745)
     for fac in ("tucker", "cp"):
         m = SpectralConv(4, 6, (5, 5), factorization=fac, rank=0.5, rngs=psci.nn.Rngs(1))
-        xc = jnp.asarray((np.random.rand(2, 4, 5, 5) + 1j * np.random.rand(2, 4, 5, 5)).astype(np.complex64))
+        assert m.corner_modes == (2, 3)
+        xc = jnp.asarray((np.random.rand(2, 4, 2, 3) + 1j * np.random.rand(2, 4, 2, 3)).astype(np.complex64))
         if fac == "cp":
             lam = m.w0_lam_re + 1j * m.w0_lam_im
             a, b = m._cfac(0, 0), m._cfac(0, 1)
@@ -153,7 +156,7 @@ def test_spectral_conv_factorizations():
             a, b = m._cfac(0, 0), m._cfac(0, 1)
             f1, f2 = m._cfac(0, 2), m._cfac(0, 3)
             w = jnp.einsum("pqrs,ip,oq,jr,ks->iojk", core, a, b, f1, f2)
-        y_fac = m._contract(0, xc)
+        y_fac = m._contract(0, xc, (slice(0, 2), slice(0, 3)))
         y_dense = jnp.einsum("bijk,iojk->bojk", xc, w)
         np.testing.assert_allclose(np.asarray(y_fac), np.asarray(y_dense), rtol=2e-4, atol=1e-5)
 

@@ -79,6 +79,7 @@ SMOKE_OVERRIDES = {
     "fourcastnet_finetune": ["TRAIN.epochs=1"],
     "moflow_optimize": ["TRAIN.train_steps=10", "TRAIN.fit_steps=30", "TRAIN.opt_steps=5"],
     "darcy_uno": ["TRAIN.epochs=2", "TRAIN.n_train=32", "TRAIN.n_eval=16"],
+    "darcy_tfno": ["TRAIN.epochs=2", "TRAIN.n_train=32", "TRAIN.n_eval=16"],
     "phylstm3_seismic": ["TRAIN.steps=40"],
     "amgnet_cylinder": ["TRAIN.steps=20"],
     "phygeonet_bc": ["TRAIN.epochs=200"],

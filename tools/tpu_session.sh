@@ -25,7 +25,7 @@ echo "[tpu_session] 2/3 allen_cahn piratenet accuracy $(date)"
 # NOTE: never run a second TPU client (bench, probe, sweep) while this is
 # live — two clients on the tunneled chip deadlock each other.
 ( cd examples && PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 9000 python allen_cahn_piratenet.py mode=train \
-    TRAIN.matmul_precision=high \
+    TRAIN.matmul_precision=highest \
     TRAIN.eval_freq=1 \
     seed=$((RANDOM % 1000)) \
     output_dir=/tmp/tpu_session/ac_piratenet \
