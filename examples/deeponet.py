@@ -36,12 +36,12 @@ def make_data(n_samples: int, m: int = 100, seed: int = 0):
 
 
 def build_solver(epochs=100, iters_per_epoch=32, output_dir="./output_deeponet",
-                 n_train=10000, batch_size=312, n_eval=2000):
-    psci.utils.set_random_seed(42)
+                 n_train=10000, batch_size=312, n_eval=2000, seed=42):
+    psci.utils.set_random_seed(seed)
     # reference conf: m=100 sensors, 40 features, 1 hidden layer of 40 each
     model = psci.arch.DeepONet("u", "y", "G", 100, 40, 1, 1, 40, 40, branch_activation="relu", trunk_activation="relu")
 
-    train_in, train_lab = make_data(n_train, seed=0)
+    train_in, train_lab = make_data(n_train, seed=seed)
     sup = psci.constraint.SupervisedConstraint(
         {
             "dataset": {"name": "NamedArrayDataset", "input": train_in, "label": train_lab},

@@ -284,12 +284,14 @@ def _jet_pallas_segments(model, jx, linears, acts, gated, uv=()):
     # into one segment (boundary jets are the only HBM traffic) and widen the
     # batch tile so each kernel invocation still covers ~256x256 elements.
     width = max((_linear_out_features(l) for l in linears), default=256)
-    if os.environ.get("PSCI_JET_SEG"):
-        g = int(os.environ["PSCI_JET_SEG"])
+    seg_flag = deriv_path.flag("PSCI_JET_SEG", "")
+    if seg_flag:
+        g = int(seg_flag)
     else:
         g = len(linears) if width < 128 else 3
-    if os.environ.get("PSCI_JET_BLOCK_M"):
-        bm = int(os.environ["PSCI_JET_BLOCK_M"])
+    bm_flag = deriv_path.flag("PSCI_JET_BLOCK_M", "")
+    if bm_flag:
+        bm = int(bm_flag)
     elif width < 128:
         bm = min(max(256, (256 * 256 // max(width, 1)) // 8 * 8), 2048)
     else:
@@ -738,7 +740,7 @@ class PirateNet(base.Arch):
             # rematerializes group internals per batch tile (ops/jet_pallas.py)
             from paddlescience_tpu.ops import jet_pallas
 
-            grp = int(os.environ.get("PSCI_JET_PBLOCK_GROUP", "3"))
+            grp = int(deriv_path.flag("PSCI_JET_PBLOCK_GROUP", "3"))
             for i in range(0, len(self.blocks), grp):
                 seg = self.blocks[i : i + grp]
                 spec = self._jet_block_spec((i, len(seg)), y.index, seg)
@@ -779,11 +781,11 @@ class PirateNet(base.Arch):
         if cache is None:
             cache = {}
             object.__setattr__(self, "_jet_specs", cache)
-        key = (seg_key, index)
+        bm = int(deriv_path.flag("PSCI_JET_BLOCK_M", "256"))
+        key = (seg_key, index, bm)
         if key not in cache:
-            bm = int(os.environ.get("PSCI_JET_BLOCK_M", "256"))
             # None -> precision-aware default at lowering (jet_pallas._bwd_tile)
-            bm_bwd_env = os.environ.get("PSCI_JET_BLOCK_M_BWD")
+            bm_bwd_env = deriv_path.flag("PSCI_JET_BLOCK_M_BWD", "")
             bm_bwd = int(bm_bwd_env) if bm_bwd_env else None
             acts = tuple((b.act1, b.act2, b.act3) for b in seg_blocks)
 

@@ -48,6 +48,22 @@ CANDIDATES: Dict[str, Dict[str, str]] = {
         # the kernel when XLA's path is HBM-bound between small matmuls
         "PSCI_JET_PALLAS_MIN_LANES": "0",
     },
+    # whole-net kernel at a narrow batch tile: every block group fused into
+    # ONE kernel so no boundary jets round-trip HBM between groups. bm=128
+    # is the measured sweet spot on v5e (piratenet_9x256: 273.9 steps/s /
+    # MFU 0.415 vs 245.4 / 0.372 for 3-block groups at bm=256; bm=192 and
+    # bm=256 regress or OOM scoped VMEM, 2026-08-19). Offered as a separate
+    # candidate — the stopwatch decides per (arch, batch, device).
+    "jet_pallas_full": {
+        "PSCI_JET": "1",
+        "PSCI_JET_PALLAS": "1",
+        "PSCI_JET_PALLAS_MLP": "1",
+        "PSCI_JET_PALLAS_MIN_LANES": "0",
+        "PSCI_JET_PBLOCK_GROUP": "999",
+        "PSCI_JET_SEG": "999",
+        "PSCI_JET_BLOCK_M": "128",
+        "PSCI_JET_PALLAS_MATMUL": "split",
+    },
 }
 
 _OVERRIDE: contextvars.ContextVar[Optional[Dict[str, str]]] = contextvars.ContextVar(

@@ -178,15 +178,16 @@ def _call(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
 
 
 def _apply_fn(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays):
-    import os
+    from paddlescience_tpu.autodiff import path as deriv_path
 
     ws = _unflatten_ws(treedef, orig_shapes, ws_arrays)
     carries = _streams_to_carries(stream_arrays, spec.index, spec.n_in)
     # in-kernel, the "fused" concat/split per layer is a real VMEM copy that
-    # per-stream dots avoid — but split dots reorder the f32 accumulation
-    # (grads shift ~1e-4 rel), so the default stays bit-compatible "fused";
-    # the MFU sweep opts in with PSCI_JET_PALLAS_MATMUL=split
-    mode = os.environ.get("PSCI_JET_PALLAS_MATMUL", "fused")
+    # per-stream dots avoid — split dots reorder the f32 accumulation
+    # (grads shift ~1e-4 rel) but run measurably faster at narrow batch
+    # tiles (piratenet_9x256 273.9 -> 284.6 steps/s at bm=128); candidates
+    # opt in via the flag bundle, PSCI_JET_PALLAS_MATMUL overrides
+    mode = deriv_path.flag("PSCI_JET_PALLAS_MATMUL", "fused")
     with jax.default_matmul_precision(precision), jetmod.matmul_mode(mode):
         outs = spec.fn(ws, *carries)
     if isinstance(outs, jetmod.Jet):
@@ -360,10 +361,12 @@ def _staged_vjp(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays,
     accumulate across stages."""
     import os
 
+    from paddlescience_tpu.autodiff import path as deriv_path
+
     ws_leaves = [jnp.asarray(a).reshape(s) for a, s in zip(ws_arrays, orig_shapes)]
     carries = _streams_to_carries(stream_arrays, spec.index, spec.n_in)
     y, rest = carries[0], carries[1:]
-    mode = os.environ.get("PSCI_JET_PALLAS_MATMUL", "fused")
+    mode = deriv_path.flag("PSCI_JET_PALLAS_MATMUL", "fused")
 
     def stage_f(i, w, y_in, *r):
         with jax.default_matmul_precision(precision), jetmod.matmul_mode(mode):

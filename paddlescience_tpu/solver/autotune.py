@@ -136,6 +136,9 @@ def candidate_names(solver) -> List[str]:
                 for m in solver.models
             ):
                 names.append("jet_pallas")
+                # whole-net kernel shape (one group, bm=128): a distinct
+                # compiled program — measured separately
+                names.append("jet_pallas_full")
     return names
 
 
