@@ -137,8 +137,19 @@ def candidate_names(solver) -> List[str]:
             ):
                 names.append("jet_pallas")
                 # whole-net kernel shape (one group, bm=128): a distinct
-                # compiled program — measured separately
-                names.append("jet_pallas_full")
+                # compiled program — measured separately. NOT offered under
+                # matmul_precision=highest: the f32 multi-pass dots inside
+                # the whole-net Mosaic kernel push its compile past 18 min
+                # (observed hanging an accuracy run, one v5e 2026-08-19);
+                # the 3-block-group jet_pallas candidate compiles in ~1 min
+                # at highest and the accuracy recipes run that path.
+                prec = None
+                try:
+                    prec = jax.config.jax_default_matmul_precision
+                except Exception:
+                    pass
+                if str(prec).lower() not in ("highest", "float32"):
+                    names.append("jet_pallas_full")
     return names
 
 
