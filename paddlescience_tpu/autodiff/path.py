@@ -64,6 +64,21 @@ CANDIDATES: Dict[str, Dict[str, str]] = {
         "PSCI_JET_BLOCK_M": "128",
         "PSCI_JET_PALLAS_MATMUL": "split",
     },
+    # whole-net kernel + saved stage boundaries: the forward kernel writes
+    # each stage-boundary jet to HBM so the staged backward skips its
+    # boundary-recompute pass (~25% of backward FLOPs on a deep stack) at
+    # the cost of pipelined HBM traffic — which side wins is measured.
+    "jet_pallas_full_sb": {
+        "PSCI_JET": "1",
+        "PSCI_JET_PALLAS": "1",
+        "PSCI_JET_PALLAS_MLP": "1",
+        "PSCI_JET_PALLAS_MIN_LANES": "0",
+        "PSCI_JET_PBLOCK_GROUP": "999",
+        "PSCI_JET_SEG": "999",
+        "PSCI_JET_BLOCK_M": "128",
+        "PSCI_JET_PALLAS_MATMUL": "split",
+        "PSCI_JET_SAVE_BOUNDS": "1",
+    },
 }
 
 _OVERRIDE: contextvars.ContextVar[Optional[Dict[str, str]]] = contextvars.ContextVar(

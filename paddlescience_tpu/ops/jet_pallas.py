@@ -162,19 +162,36 @@ def fused_jet_segment(spec: SegmentSpec, ws, *carries: "jetmod.Jet"):
     """Run ``spec.fn(ws, *carries)`` as a fused Pallas kernel (forward) with a
     rematerializing Pallas backward. Returns the tuple of output Jets (or the
     single Jet when ``spec.n_out == 1``)."""
+    from paddlescience_tpu.autodiff import path as deriv_path
+
     ws_flat, treedef, orig_shapes = _flatten_ws(ws)
     in_streams = _carries_to_streams(carries)
+    # save-boundaries mode: the forward kernel already computes every stage
+    # boundary on its way through the segment — write them to HBM as extra
+    # outputs so the staged backward skips its boundary-recompute forward
+    # pass (~25% of the backward's FLOPs for a deep stack). Trades pipelined
+    # HBM traffic for compute; offered as a measured autotune candidate.
+    save_bounds = (
+        spec.stages is not None
+        and len(spec.stages) > 1
+        and spec.n_out == 1
+        and deriv_path.flag("PSCI_JET_SAVE_BOUNDS", "0") == "1"
+    )
     out_streams = _call(
-        spec, treedef, orig_shapes, _trace_time_precision(),
+        spec, treedef, orig_shapes, _trace_time_precision(), save_bounds,
         tuple(ws_flat), tuple(in_streams),
     )
     outs = _streams_to_carries(out_streams, spec.index, spec.n_out)
     return outs[0] if spec.n_out == 1 else outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _call(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
-    return _forward(spec, treedef, orig_shapes, precision, ws_flat, in_streams)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _call(spec, treedef, orig_shapes, precision, save_bounds, ws_flat, in_streams):
+    outs, _ = _forward(
+        spec, treedef, orig_shapes, precision, ws_flat, in_streams,
+        save_bounds=save_bounds,
+    )
+    return outs
 
 
 def _apply_fn(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays):
@@ -193,6 +210,26 @@ def _apply_fn(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays):
     if isinstance(outs, jetmod.Jet):
         outs = (outs,)
     return _carries_to_streams(outs)
+
+
+def _apply_stages_fn(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays):
+    """Like :func:`_apply_fn` but routed through ``spec.stages``: returns
+    ``(out_streams, boundary_streams)`` where the boundaries are the carry
+    jets entering stages 1..S-1 (stage 0's input is the caller's carry and
+    the final boundary is the output itself — neither needs saving)."""
+    from paddlescience_tpu.autodiff import path as deriv_path
+
+    ws = _unflatten_ws(treedef, orig_shapes, ws_arrays)
+    carries = _streams_to_carries(stream_arrays, spec.index, spec.n_in)
+    y, rest = carries[0], carries[1:]
+    mode = deriv_path.flag("PSCI_JET_PALLAS_MATMUL", "fused")
+    bounds = []
+    with jax.default_matmul_precision(precision), jetmod.matmul_mode(mode):
+        for i in range(len(spec.stages)):
+            if i > 0:
+                bounds.extend(y.streams)
+            (y,) = spec.stages[i](ws, y, *rest)
+    return _carries_to_streams((y,)), tuple(bounds)
 
 
 def _out_struct(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
@@ -278,22 +315,37 @@ def _pad_streams(streams, bm):
     return streams, n
 
 
-def _forward(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
+def _forward(spec, treedef, orig_shapes, precision, ws_flat, in_streams,
+             save_bounds=False):
     pl, pltpu = _pl()
     in_streams, n = _pad_streams(in_streams, spec.block_m)
     npad = in_streams[0].shape[0]
     grid = (npad // spec.block_m,)
     out_shapes = _out_struct(spec, treedef, orig_shapes, precision, ws_flat, in_streams)
+    n_o = len(out_shapes)
+    if save_bounds:
+        _, bshapes = jax.eval_shape(
+            lambda w, s: _apply_stages_fn(spec, treedef, orig_shapes, precision, w, s),
+            ws_flat, in_streams,
+        )
+        out_shapes = tuple(out_shapes) + tuple(bshapes)
     n_w, n_s = len(ws_flat), len(in_streams)
 
     def kernel(*refs):
         w_refs = refs[:n_w]
         s_refs = refs[n_w : n_w + n_s]
         o_refs = refs[n_w + n_s :]
-        outs = _apply_fn(
-            spec, treedef, orig_shapes, precision,
-            [r[:] for r in w_refs], [r[:] for r in s_refs],
-        )
+        if save_bounds:
+            outs, bounds = _apply_stages_fn(
+                spec, treedef, orig_shapes, precision,
+                [r[:] for r in w_refs], [r[:] for r in s_refs],
+            )
+            outs = tuple(outs) + tuple(bounds)
+        else:
+            outs = _apply_fn(
+                spec, treedef, orig_shapes, precision,
+                [r[:] for r in w_refs], [r[:] for r in s_refs],
+            )
         for r, o in zip(o_refs, outs):
             r[:] = o
 
@@ -316,12 +368,17 @@ def _forward(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
         compiler_params=None if spec.interpret else _compiler_params(pltpu),
         interpret=spec.interpret,
     )(*ws_flat, *in_streams)
-    return tuple(o[:n] for o in outs)
+    # boundary jets stay PADDED (the backward kernel re-tiles them at its own
+    # bm); only the caller-visible outputs are trimmed to the true batch
+    return tuple(o[:n] for o in outs[:n_o]), tuple(outs[n_o:])
 
 
-def _fwd(spec, treedef, orig_shapes, precision, ws_flat, in_streams):
-    outs = _forward(spec, treedef, orig_shapes, precision, ws_flat, in_streams)
-    return outs, (ws_flat, in_streams)
+def _fwd(spec, treedef, orig_shapes, precision, save_bounds, ws_flat, in_streams):
+    outs, bounds = _forward(
+        spec, treedef, orig_shapes, precision, ws_flat, in_streams,
+        save_bounds=save_bounds,
+    )
+    return outs, (ws_flat, in_streams, bounds)
 
 
 def _bwd_tile(spec, precision) -> int:
@@ -350,7 +407,8 @@ def _bwd_tile(spec, precision) -> int:
     return bm
 
 
-def _staged_vjp(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays, g_arrays):
+def _staged_vjp(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays, g_arrays,
+                bound_arrays=None):
     """Streaming per-stage backward for one batch tile: recompute the stage
     BOUNDARY jets forward (cheap — no residuals kept), then walk stages in
     reverse, one ``jax.vjp`` per stage. Only one stage's vjp residuals are
@@ -358,7 +416,9 @@ def _staged_vjp(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays,
     w.r.t. only that stage's own weight leaves (the others enter as
     closed-over constants), so no all-weights zero-gradient tree is ever
     materialized; ``rest`` carry cotangents (PirateNet's u, v gates)
-    accumulate across stages."""
+    accumulate across stages. When ``bound_arrays`` is given (save-bounds
+    mode: the forward kernel wrote the boundaries to HBM) the recompute
+    forward pass is skipped entirely."""
     import os
 
     from paddlescience_tpu.autodiff import path as deriv_path
@@ -380,9 +440,14 @@ def _staged_vjp(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays,
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
     full_ws = make_ws()
-    boundaries = [y]
-    for i in range(len(spec.stages)):
-        boundaries.append(stage_f(i, full_ws, boundaries[-1], *rest))
+    if bound_arrays is not None:
+        boundaries = [y] + list(
+            _streams_to_carries(bound_arrays, spec.index, len(spec.stages) - 1)
+        )
+    else:
+        boundaries = [y]
+        for i in range(len(spec.stages) - 1):
+            boundaries.append(stage_f(i, full_ws, boundaries[-1], *rest))
 
     (g_y,) = _streams_to_carries(g_arrays, spec.index, spec.n_out)
     dws_leaves = [None] * len(ws_leaves)
@@ -420,22 +485,24 @@ def _staged_vjp(spec, treedef, orig_shapes, precision, ws_arrays, stream_arrays,
     return dws_flat, _carries_to_streams(d_carries)
 
 
-def _bwd(spec, treedef, orig_shapes, precision, res, g_outs):
+def _bwd(spec, treedef, orig_shapes, precision, save_bounds, res, g_outs):
     pl, pltpu = _pl()
-    ws_flat, in_streams = res
+    ws_flat, in_streams, bounds = res
     bm = _bwd_tile(spec, precision)
     in_streams_p, n = _pad_streams(in_streams, bm)
     g_outs_p, _ = _pad_streams(tuple(g_outs), bm)
+    bounds_p = _pad_streams(tuple(bounds), bm)[0] if bounds else ()
     npad = in_streams_p[0].shape[0]
     grid = (npad // bm,)
-    n_w, n_s, n_g = len(ws_flat), len(in_streams_p), len(g_outs_p)
+    n_w, n_s, n_g, n_b = len(ws_flat), len(in_streams_p), len(g_outs_p), len(bounds_p)
 
     def kernel(*refs):
         w_refs = refs[:n_w]
         s_refs = refs[n_w : n_w + n_s]
         g_refs = refs[n_w + n_s : n_w + n_s + n_g]
-        dw_refs = refs[n_w + n_s + n_g : n_w + n_s + n_g + n_w]
-        ds_refs = refs[n_w + n_s + n_g + n_w :]
+        b_refs = refs[n_w + n_s + n_g : n_w + n_s + n_g + n_b]
+        dw_refs = refs[n_w + n_s + n_g + n_b : n_w + n_s + n_g + n_b + n_w]
+        ds_refs = refs[n_w + n_s + n_g + n_b + n_w :]
         ws = [r[:] for r in w_refs]
         ss = [r[:] for r in s_refs]
         gs = tuple(r[:] for r in g_refs)
@@ -444,7 +511,10 @@ def _bwd(spec, treedef, orig_shapes, precision, res, g_outs):
 
         staged = os.environ.get("PSCI_JET_STAGED", "1") == "1"
         if staged and spec.stages is not None and spec.n_out == 1:
-            dws, dss = _staged_vjp(spec, treedef, orig_shapes, precision, ws, ss, gs)
+            dws, dss = _staged_vjp(
+                spec, treedef, orig_shapes, precision, ws, ss, gs,
+                bound_arrays=tuple(r[:] for r in b_refs) if n_b else None,
+            )
         else:
             def f(w_arrays, s_arrays):
                 return _apply_fn(spec, treedef, orig_shapes, precision, w_arrays, s_arrays)
@@ -475,6 +545,10 @@ def _bwd(spec, treedef, orig_shapes, precision, res, g_outs):
         pl.BlockSpec((bm, g.shape[1]), (lambda i: (i, 0)), memory_space=pltpu.VMEM)
         for g in g_outs_p
     ]
+    b_specs = [
+        pl.BlockSpec((bm, b.shape[1]), (lambda i: (i, 0)), memory_space=pltpu.VMEM)
+        for b in bounds_p
+    ]
     dw_specs = [pl.BlockSpec(w.shape, (lambda *_: (0,) * w.ndim), memory_space=pltpu.VMEM) for w in ws_flat]
     ds_specs = [
         pl.BlockSpec((bm, s.shape[1]), (lambda i: (i, 0)), memory_space=pltpu.VMEM)
@@ -487,12 +561,12 @@ def _bwd(spec, treedef, orig_shapes, precision, res, g_outs):
             [jax.ShapeDtypeStruct(w.shape, w.dtype) for w in ws_flat]
             + [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in in_streams_p]
         ),
-        in_specs=w_specs + s_specs + g_specs,
+        in_specs=w_specs + s_specs + g_specs + b_specs,
         out_specs=dw_specs + ds_specs,
         cost_estimate=_segment_cost(spec, treedef, orig_shapes, precision, ws_flat, in_streams_p, backward=True),
         compiler_params=None if spec.interpret else _compiler_params(pltpu),
         interpret=spec.interpret,
-    )(*ws_flat, *in_streams_p, *g_outs_p)
+    )(*ws_flat, *in_streams_p, *g_outs_p, *bounds_p)
     dws = tuple(outs[:n_w])
     dss = tuple(o[:n] for o in outs[n_w:])
     return dws, dss

@@ -150,6 +150,7 @@ def candidate_names(solver) -> List[str]:
                     pass
                 if str(prec).lower() not in ("highest", "float32"):
                     names.append("jet_pallas_full")
+                    names.append("jet_pallas_full_sb")
     return names
 
 

@@ -209,3 +209,59 @@ def test_staged_backward_parity_and_tile():
     # magnitude): assert on the full gradient vector, not per element
     assert np.linalg.norm(fs - fr) / np.linalg.norm(fr) < 1e-3
     assert np.linalg.norm(fw - fr) / np.linalg.norm(fr) < 1e-3
+
+
+def test_save_bounds_backward_parity():
+    """Save-boundaries mode (PSCI_JET_SAVE_BOUNDS=1 / the jet_pallas_full_sb
+    candidate): the forward kernel writes stage-boundary jets to HBM and the
+    staged backward consumes them instead of recomputing — grads must match
+    the recompute staged backward (same per-stage vjps; boundary values agree
+    up to cross-program fusion-order float drift, ~1e-5 rel through the
+    3-block tanh chain), including the ragged pad path where backward pad
+    rows carry zero cotangents."""
+    from paddlescience_tpu.autodiff import path as deriv_path
+
+    idx, w0, y, u, v = _mk(n=70, w=24)  # n NOT a multiple of block_m
+    ws_all = (w0,
+              jax.tree.map(lambda a: a * 0.9, w0),
+              jax.tree.map(lambda a: a * 1.1, w0))
+
+    def stage(i):
+        return lambda ws, y_, u_, v_: _block_fn(ws[i], y_, u_, v_)
+
+    L = len(jax.tree_util.tree_leaves(w0))
+    spec = jp.SegmentSpec(_three_block_group, idx, n_in=3, n_out=1,
+                          block_m=32, interpret=True,
+                          stages=(stage(0), stage(1), stage(2)),
+                          stage_ws_idx=tuple(
+                              tuple(range(i * L, (i + 1) * L))
+                              for i in range(3)))
+
+    def loss(ws_all, y, u, v):
+        yo = jp.fused_jet_segment(spec, ws_all, y, u, v)
+        return sum(jnp.sum(s ** 2) for s in yo.streams)
+
+    with deriv_path.override({"PSCI_JET_SAVE_BOUNDS": "1"}):
+        v_sb, g_sb = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(ws_all, y, u, v)
+    v_rc, g_rc = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(ws_all, y, u, v)
+    np.testing.assert_allclose(v_sb, v_rc, rtol=1e-6)
+    f_sb, _ = ravel_pytree(g_sb)
+    f_rc, _ = ravel_pytree(g_rc)
+    np.testing.assert_allclose(f_sb, f_rc, rtol=2e-3, atol=2e-3)
+    assert np.linalg.norm(f_sb - f_rc) / np.linalg.norm(f_rc) < 1e-4
+
+
+def test_save_bounds_candidate_gating():
+    """jet_pallas_full_sb carries the save-bounds flag; segments without
+    stages (or single-stage) ignore the flag and still run correctly."""
+    from paddlescience_tpu.autodiff import path as deriv_path
+
+    assert deriv_path.CANDIDATES["jet_pallas_full_sb"]["PSCI_JET_SAVE_BOUNDS"] == "1"
+    idx, ws, y, u, v = _mk(n=64, w=16)
+    spec = jp.SegmentSpec(_block_fn, idx, n_in=3, n_out=1, block_m=32,
+                          interpret=True)  # no stages: flag must be a no-op
+    with deriv_path.override({"PSCI_JET_SAVE_BOUNDS": "1"}):
+        out = jp.fused_jet_segment(spec, ws, y, u, v)
+    ref = _block_fn(ws, y, u, v)[0]
+    for a, b in zip(out.streams, ref.streams):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
