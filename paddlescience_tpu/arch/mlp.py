@@ -377,7 +377,18 @@ def _resolve_sizes(hidden_size, num_layers, what="num_layers"):
 
 
 class MLP(base.Arch):
-    """Multi layer perceptron network (reference ppsci/arch/mlp.py:139)."""
+    """Multi layer perceptron network (reference ppsci/arch/mlp.py:139).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> import paddlescience_tpu as psci
+        >>> model = psci.arch.MLP(("x", "y"), ("u", "v"), 2, 16)
+        >>> out = model({"x": jnp.ones((4, 1)), "y": jnp.zeros((4, 1))})
+        >>> sorted(out)
+        ['u', 'v']
+        >>> out["u"].shape
+        (4, 1)
+    """
 
     def __init__(
         self,

@@ -657,10 +657,28 @@ def clear() -> None:
 
 def jacobian_fn(fn: Callable, argnums: int = 0) -> Callable:
     """Functional jacobian for a pointwise fn (d,)->(m,), vmapped over a
-    leading batch axis: returns g(x: (N,d)) -> (N, m, d)."""
+    leading batch axis: returns g(x: (N,d)) -> (N, m, d).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from paddlescience_tpu.autodiff import jacobian_fn
+        >>> g = jacobian_fn(lambda x: x ** 3)
+        >>> g(jnp.array([[2.0]])).shape
+        (1, 1, 1)
+        >>> float(g(jnp.array([[2.0]]))[0, 0, 0])  # d(x^3)/dx at x=2
+        12.0
+    """
     return jax.vmap(jax.jacfwd(fn, argnums=argnums))
 
 
 def hessian_fn(fn: Callable, argnums: int = 0) -> Callable:
-    """Functional hessian (forward-over-forward): g(x: (N,d)) -> (N, m, d, d)."""
+    """Functional hessian (forward-over-forward): g(x: (N,d)) -> (N, m, d, d).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> from paddlescience_tpu.autodiff import hessian_fn
+        >>> h = hessian_fn(lambda x: x ** 3)
+        >>> float(h(jnp.array([[2.0]]))[0, 0, 0, 0])  # d2(x^3)/dx2 at x=2
+        12.0
+    """
     return jax.vmap(jax.jacfwd(jax.jacfwd(fn, argnums=argnums), argnums=argnums))

@@ -139,7 +139,14 @@ class Biharmonic(PDE):
 
 class NavierStokes(PDE):
     """Incompressible Navier-Stokes, 2D/3D, steady/unsteady (reference
-    navier_stokes.py:83+). nu/rho may be floats or named field strings."""
+    navier_stokes.py:83+). nu/rho may be floats or named field strings.
+
+    Examples:
+        >>> import paddlescience_tpu as psci
+        >>> eq = psci.equation.NavierStokes(nu=0.01, rho=1.0, dim=2, time=False)
+        >>> sorted(eq.equations)
+        ['continuity', 'momentum_x', 'momentum_y']
+    """
 
     def __init__(
         self,

@@ -41,6 +41,13 @@ def gaussian_integrate(
 
     fn maps (n_points, dim) -> (n_points,) [or (n_points, 1)].
     N is the total point budget; per-dim order = ceil(N^(1/dim)).
+
+    Examples:
+        >>> from paddlescience_tpu.experimental import gaussian_integrate
+        >>> val = gaussian_integrate(
+        ...     lambda x: x ** 2, dim=1, N=32, integration_domains=[[0.0, 1.0]])
+        >>> round(float(val), 6)  # int_0^1 x^2 dx = 1/3
+        0.333333
     """
     if len(integration_domains) != dim:
         raise ValueError("integration_domains must have `dim` entries")

@@ -58,7 +58,17 @@ class Disk(geometry.Geometry):
 
 
 class Rectangle(geometry_nd.Hypercube):
-    """Axis-aligned rectangle (reference geometry_2d.py:108)."""
+    """Axis-aligned rectangle (reference geometry_2d.py:108).
+
+    Examples:
+        >>> import paddlescience_tpu as psci
+        >>> geom = psci.geometry.Rectangle((0.0, 0.0), (1.0, 1.0))
+        >>> pts = geom.sample_interior(8)
+        >>> sorted(pts)
+        ['sdf', 'x', 'y']
+        >>> pts["x"].shape
+        (8, 1)
+    """
 
     def __init__(self, xmin: Tuple[float, float], xmax: Tuple[float, float]):
         super().__init__(xmin, xmax)

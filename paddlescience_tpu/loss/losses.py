@@ -47,7 +47,16 @@ def _elementwise(output_dict, label_dict, weight_dict, key, fn):
 
 
 class MSELoss(Loss):
-    """Mean squared error (reference mse.py:28)."""
+    """Mean squared error (reference mse.py:28).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> import paddlescience_tpu as psci
+        >>> loss = psci.loss.MSELoss()
+        >>> out = loss({"u": jnp.ones((4, 1))}, {"u": jnp.zeros((4, 1))})
+        >>> float(out["u"])
+        1.0
+    """
 
     def __call__(self, output_dict, label_dict, weight_dict=None) -> Dict[str, jnp.ndarray]:
         losses = {}

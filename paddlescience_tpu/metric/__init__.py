@@ -35,7 +35,16 @@ class Metric:
 
 
 class L2Rel(Metric):
-    """||o - l||_2 / ||l||_2 over the flattened arrays (reference l2_rel.py:25)."""
+    """||o - l||_2 / ||l||_2 over the flattened arrays (reference l2_rel.py:25).
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> import paddlescience_tpu as psci
+        >>> metric = psci.metric.L2Rel()
+        >>> r = metric({"u": jnp.full((4, 1), 1.1)}, {"u": jnp.ones((4, 1))})
+        >>> round(float(r["u"]), 4)
+        0.1
+    """
 
     def __call__(self, output_dict, label_dict):
         return {

@@ -134,7 +134,17 @@ class Linear(LRBase):
 
 
 class Cosine(LRBase):
-    """Cosine decay to eta_min (reference lr_scheduler.py:272)."""
+    """Cosine decay to eta_min (reference lr_scheduler.py:272).
+
+    Examples:
+        >>> from paddlescience_tpu.optimizer import lr_scheduler
+        >>> sched = lr_scheduler.Cosine(
+        ...     epochs=10, iters_per_epoch=100, learning_rate=1e-3)()
+        >>> round(float(sched(0)), 6)   # pure fn of the global step
+        0.001
+        >>> round(float(sched(999)), 8) # decayed to eta_min by the last step
+        0.0
+    """
 
     def __init__(
         self,

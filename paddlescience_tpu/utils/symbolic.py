@@ -216,6 +216,16 @@ def lambdify(
     expression evaluator provides (``utils/expression.py``), keyed by name.
     ``fuse_derivative``/``create_graph``/``retain_graph`` are no-ops — XLA
     fuses and JAX traces are always differentiable.
+
+    Examples:
+        >>> import jax.numpy as jnp
+        >>> import sympy as sp
+        >>> import paddlescience_tpu as psci
+        >>> x = sp.Symbol("x")
+        >>> u = sp.Function("u")(x)
+        >>> fn = psci.lambdify(2 * u)  # residual fn over the output dict
+        >>> float(fn({"u": jnp.array([[3.0]]), "x": jnp.array([[1.0]])})[0, 0])
+        6.0
     """
     if isinstance(expr, (list, tuple)):
         return [lambdify(e, models, extra_parameters) for e in expr]
