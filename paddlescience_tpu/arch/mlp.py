@@ -298,11 +298,14 @@ def _jet_pallas_segments(model, jx, linears, acts, gated, uv=()):
         bm = 256
     batch = jx.streams[0].shape[0]
     bm = min(bm, max(-(-batch // 8) * 8, 8))  # never tile beyond the batch
+    # None -> precision-aware default at lowering (jet_pallas._bwd_tile)
+    bm_bwd_env = deriv_path.flag("PSCI_JET_BLOCK_M_BWD", "")
+    bm_bwd = int(bm_bwd_env) if bm_bwd_env else None
     y = jx
     for s in range(0, len(linears), g):
         seg_l = linears[s : s + g]
         seg_a = acts[s : s + g]
-        key = ("mlp_seg", s, len(seg_l), gated, y.index, g, bm)
+        key = ("mlp_seg", s, len(seg_l), gated, y.index, g, bm, bm_bwd)
         if key not in cache:
             # per-layer stages let the backward kernel keep only one layer's
             # vjp residuals live (streaming backward, ops/jet_pallas.py)
@@ -318,6 +321,7 @@ def _jet_pallas_segments(model, jx, linears, acts, gated, uv=()):
             cache[key] = jet_pallas.SegmentSpec(
                 _mlp_segment_fn(tuple(seg_a), gated),
                 y.index, n_in=1 + len(uv), n_out=1, block_m=bm,
+                block_m_bwd=bm_bwd,
                 interpret=jet_pallas.interpret_forced(),
                 name="mlp_seg",
                 stages=tuple(_layer_stage(i, a) for i, a in enumerate(seg_a)),
@@ -793,11 +797,11 @@ class PirateNet(base.Arch):
             cache = {}
             object.__setattr__(self, "_jet_specs", cache)
         bm = int(deriv_path.flag("PSCI_JET_BLOCK_M", "256"))
-        key = (seg_key, index, bm)
+        # None -> precision-aware default at lowering (jet_pallas._bwd_tile)
+        bm_bwd_env = deriv_path.flag("PSCI_JET_BLOCK_M_BWD", "")
+        bm_bwd = int(bm_bwd_env) if bm_bwd_env else None
+        key = (seg_key, index, bm, bm_bwd)
         if key not in cache:
-            # None -> precision-aware default at lowering (jet_pallas._bwd_tile)
-            bm_bwd_env = deriv_path.flag("PSCI_JET_BLOCK_M_BWD", "")
-            bm_bwd = int(bm_bwd_env) if bm_bwd_env else None
             acts = tuple((b.act1, b.act2, b.act3) for b in seg_blocks)
 
             # one stage per residual block: the streaming backward keeps only

@@ -29,18 +29,22 @@ from paddlescience_tpu.autodiff import path as deriv_path  # noqa: E402
 
 BASE = dict(deriv_path.CANDIDATES["jet_pallas_full"])
 
+# second pass (2026-08-20): the first sweep's bwd-tile rows were bogus — the
+# spec cache keyed (seg, index, bm) without bm_bwd, so every variant reused
+# the first-built spec (fixed in arch/mlp.py). Measured then: base 282.1,
+# save_bounds 277.2 (HBM boundary traffic costs more than the recompute),
+# fwd256 OOMs scoped VMEM at the default 100 MB limit.
 VARIANTS = {
     "full(base bm128/split)": {},
-    "full+save_bounds": {"PSCI_JET_SAVE_BOUNDS": "1"},
     "full+bwd256": {"PSCI_JET_BLOCK_M_BWD": "256"},
-    "full+bwd256+save_bounds": {
-        "PSCI_JET_BLOCK_M_BWD": "256",
-        "PSCI_JET_SAVE_BOUNDS": "1",
-    },
     "full+bwd512": {"PSCI_JET_BLOCK_M_BWD": "512"},
-    "full+fwd256+bwd256": {
-        "PSCI_JET_BLOCK_M": "256",
+    "full+bwd256+fused": {
         "PSCI_JET_BLOCK_M_BWD": "256",
+        "PSCI_JET_PALLAS_MATMUL": "fused",
+    },
+    "full+fwd256+vmem118": {
+        "PSCI_JET_BLOCK_M": "256",
+        "_env": {"PSCI_JET_VMEM_LIMIT_MB": "118"},
     },
 }
 
@@ -78,6 +82,10 @@ def main():
     n_calls = max(args.steps // fused, 1)
     results = []
     for tag, extra in VARIANTS.items():
+        extra = dict(extra)
+        env = extra.pop("_env", {})
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
         flags = dict(BASE)
         flags.update(extra)
         try:
@@ -107,6 +115,12 @@ def main():
         except Exception as e:
             print(f"[sweep] {tag}: FAILED {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
     results.sort(reverse=True)
     print("\n== ranked by steps/s ==")
     for sps, tag, mfu, flops in results:
